@@ -1,0 +1,83 @@
+"""Last-writer-wins dedup per ``doc_id`` on ``(commit_lsn, op_seq)``.
+
+North-rule core operator (BASELINE.json: "deduplicated per doc_id via
+last-writer-wins on (commit_lsn, op_seq)"). The reference has no dedup — its
+feed is naturally unique per (file, cell) — but its *early aggregation before
+the expensive stage* pattern (10x downsample before polygonize,
+``src/globalai/historical/transform/GlobalAiHistoricalTransformationService.scala:45``)
+is exactly why dedup runs BEFORE the MERGE join: shrink the change set so the
+join touches minimal data (SURVEY.md §4.1).
+
+Three physical strategies, same logical result:
+
+1. ``lww_dedup`` (default): ``max_by(struct(payload), struct(lsn, seq))``
+   hash aggregate. This is the scale winner: partial (map-side) aggregation
+   means a hot doc_id is pre-combined on every input partition before the
+   shuffle, so skew largely disappears for free, and there is no sort.
+2. ``lww_dedup_window``: window + ``row_number() = 1``. Requires a full
+   sort-shuffle of all events per key; kept for plan comparison and because
+   it generalizes to top-k.
+3. ``lww_dedup_salted``: explicit two-phase salted aggregate per the north
+   rule ("salted-key repartition path for hot doc_id skew") — partial LWW per
+   (doc_id, salt), then final LWW per doc_id. LWW is a max over a total
+   order, hence associative + commutative, so the two-phase split is exact
+   (tested against strategy 1). Useful when the engine must also guard the
+   window variant or a non-combinable aggregate against skew.
+
+All strategies are pure Catalyst (whole-stage codegen, no Python).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+ORDER_COLS = ("commit_lsn", "op_seq")
+
+
+def _payload_cols(df: DataFrame, key: str) -> list[str]:
+    return [c for c in df.columns if c not in (key, *ORDER_COLS)]
+
+
+def lww_dedup(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """One winning event per key via max_by hash aggregate (partial+final)."""
+    payload = _payload_cols(df, key)
+    win = F.max_by(
+        F.struct(*[F.col(c) for c in (*ORDER_COLS, *payload)]),
+        F.struct(*[F.col(c) for c in ORDER_COLS]),
+    ).alias("_w")
+    out = df.groupBy(key).agg(win)
+    return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in (*ORDER_COLS, *payload)])
+
+
+def lww_dedup_window(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Window + row_number variant (full sort shuffle; reference plan shape)."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in ORDER_COLS])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(key, *ORDER_COLS, *_payload_cols(df, key))
+    )
+
+
+def lww_dedup_salted(df: DataFrame, key: str = "doc_id", salt_buckets: int = 32) -> DataFrame:
+    """Explicit two-phase salted LWW for hot keys.
+
+    Salt is derived from the event's own order columns (deterministic, no
+    rand()) so replay is stable; phase 1 reduces each (key, salt) group on a
+    salted shuffle, phase 2 reduces the <= salt_buckets survivors per key.
+    """
+    payload = _payload_cols(df, key)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ORDER_COLS]), F.lit(salt_buckets)).alias("_salt")
+    win = F.max_by(
+        F.struct(*[F.col(c) for c in (*ORDER_COLS, *payload)]),
+        F.struct(*[F.col(c) for c in ORDER_COLS]),
+    )
+    phase1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(win.alias("_w"))
+    phase2 = (
+        phase1.select(key, *[F.col(f"_w.{c}").alias(c) for c in (*ORDER_COLS, *payload)])
+        .groupBy(key)
+        .agg(win.alias("_w"))
+    )
+    return phase2.select(key, *[F.col(f"_w.{c}").alias(c) for c in (*ORDER_COLS, *payload)])

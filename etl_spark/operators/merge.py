@@ -1,0 +1,259 @@
+"""Key-partitioned copy-on-write MERGE of a change batch into a LakeTable.
+
+North-rule core: "applied as key-partitioned MERGE upserts ... explicit
+repartitionByRange on the merge key before apply ... exactly-once enforced by
+idempotent epoch-fenced commits keyed on (checkpoint_epoch, partition_id)".
+
+Physical strategy (all built-in Spark ops; the planner lives above Catalyst,
+SURVEY.md §4.2):
+
+1. **Dedup first** — LWW-reduce the batch so the join touches one row per key
+   (the reference's shrink-before-expensive-stage move,
+   ``GlobalAiHistoricalTransformationService.scala:45``).
+2. **Plan touched files** — broadcast the snapshot's per-file ``doc_id``
+   min/max stats against the batch keys; only files whose key range contains
+   a batch key are rewritten, everything else is carried forward untouched
+   (Iceberg copy-on-write with manifest pruning). Because apply writes with
+   ``repartitionByRange(doc_id)`` + ``sortWithinPartitions``, files are tight,
+   non-overlapping key ranges, so a batch touching k% of the keyspace rewrites
+   ~k% of files — at 100 TB this is the difference between a merge and a full
+   table rewrite.
+3. **Resolve** — full-outer join (touched-target x batch) on ``doc_id``; a
+   change wins iff ``(commit_lsn, op_seq)`` beats the row's stored hidden
+   ``(_commit_lsn, _op_seq)`` — stale/out-of-order events become no-ops.
+   Winning deletes become persisted tombstone rows (see table.py docstring on
+   why tombstones must be kept for cross-batch ordering).
+4. **Apply** — ``repartitionByRange(n, doc_id)`` + ``sortWithinPartitions``
+   -> Parquet; per-file footer stats feed the next merge's planning.
+5. **Commit** — single atomic snapshot swap carrying fence records
+   ``(checkpoint_epoch, partition_id)`` and per-partition lineage (lsn ranges,
+   rows upserted/deleted). A replayed epoch is detected via the fence ledger
+   and no-ops (forced double-apply test).
+
+AQE's skew-join handling covers hot-key skew in the resolve join; the dedup
+stage is skew-proof by construction (partial aggregation / salted two-phase,
+see operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from etl_spark.operators.dedup import lww_dedup, lww_dedup_salted
+from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, relax_nullability
+from etl_spark.table.table import HIDDEN_DELETED, LakeTable, file_stats
+
+
+@dataclass
+class MergeResult:
+    snapshot_id: int
+    applied: bool
+    rows_upserted: int
+    rows_deleted: int
+    files_rewritten: int
+    files_added: int
+
+
+def _normalize_changes(table: LakeTable, changes: DataFrame) -> DataFrame:
+    """Project the (possibly older/newer-schema) batch onto the table's
+    current schema: missing columns -> null, types cast (covers widen)."""
+    schema = table.schema()
+    cols = [F.col("doc_id"), F.col("commit_lsn"), F.col("op_seq"), F.col("op")]
+    for f in schema.fields:
+        if f.name == "doc_id":
+            continue
+        if f.name in changes.columns:
+            cols.append(F.col(f.name).cast(relax_nullability(f.dataType)).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
+    return changes.select(*cols)
+
+
+def merge_batch(
+    table: LakeTable,
+    changes: DataFrame,
+    epoch: int,
+    lineage_partitions: int = 32,
+    target_rows_per_file: int = 1_000_000,
+    use_salted_dedup: bool = False,
+) -> MergeResult:
+    """Apply one change batch exactly-once. Returns a no-op result if the
+    epoch is already fenced (idempotent replay)."""
+    spark = table.spark
+    if table.is_fenced(epoch):
+        return MergeResult(table.head_id(), False, 0, 0, 0, 0)
+
+    schema = table.schema()
+    payload_names = [f.name for f in schema.fields if f.name != "doc_id"]
+
+    changes = _normalize_changes(table, changes)
+    dedup = lww_dedup_salted(changes) if use_salted_dedup else lww_dedup(changes)
+
+    # ---- plan: which files does this batch touch?
+    files = table.files()
+    plannable = [f for f in files if f["min_key"] is not None]
+    unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
+    touched_paths: set[str] = {f["path"] for f in unplannable}
+    if plannable:
+        stats_df = spark.createDataFrame(
+            [(f["path"], f["min_key"], f["max_key"]) for f in plannable],
+            "path string, min_key string, max_key string",
+        )
+        hits = (
+            dedup.select("doc_id")
+            .join(
+                F.broadcast(stats_df),
+                (F.col("doc_id") >= F.col("min_key")) & (F.col("doc_id") <= F.col("max_key")),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        touched_paths |= {r["path"] for r in hits}
+
+    # ---- resolve LWW against the touched slice of the table
+    if touched_paths:
+        target = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*sorted(touched_paths))
+        )
+        # reconcile to current schema (older files may lack evolved columns)
+        proj = [F.col("doc_id")]
+        for name in payload_names:
+            f = schema[name]
+            proj.append(
+                (F.col(name) if name in target.columns else F.lit(None)).cast(relax_nullability(f.dataType)).alias(name)
+            )
+        proj += [F.col(HIDDEN_LSN), F.col(HIDDEN_SEQ), F.col(HIDDEN_DELETED)]
+        target = target.select(*proj)
+    else:
+        target = None
+
+    c = dedup.alias("c")
+    change_cols = {
+        "doc_id": F.coalesce(F.col("c.doc_id"), F.col("t.doc_id")) if target is not None else F.col("c.doc_id")
+    }
+    if target is not None:
+        t = target.alias("t")
+        joined = t.join(c, on=F.col("t.doc_id") == F.col("c.doc_id"), how="full_outer")
+        change_wins = F.col("t.doc_id").isNull() | (
+            F.col("c.commit_lsn").isNotNull()
+            & (
+                (F.col("c.commit_lsn") > F.col(f"t.{HIDDEN_LSN}"))
+                | (
+                    (F.col("c.commit_lsn") == F.col(f"t.{HIDDEN_LSN}"))
+                    & (F.col("c.op_seq") >= F.col(f"t.{HIDDEN_SEQ}"))
+                )
+            )
+        )
+        has_change = F.col("c.doc_id").isNotNull()
+        sel = [change_cols["doc_id"].alias("doc_id")]
+        for name in payload_names:
+            sel.append(
+                F.when(has_change & change_wins, F.col(f"c.{name}"))
+                .otherwise(F.col(f"t.{name}"))
+                .alias(name)
+            )
+        sel.append(
+            F.when(has_change & change_wins, F.col("c.commit_lsn")).otherwise(F.col(f"t.{HIDDEN_LSN}")).alias(HIDDEN_LSN)
+        )
+        sel.append(
+            F.when(has_change & change_wins, F.col("c.op_seq")).otherwise(F.col(f"t.{HIDDEN_SEQ}")).alias(HIDDEN_SEQ)
+        )
+        sel.append(
+            F.when(has_change & change_wins, F.col("c.op") == "D")
+            .otherwise(F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+            .alias(HIDDEN_DELETED)
+        )
+        sel.append((has_change & change_wins).alias("_applied"))
+        sel.append((F.col("c.op") == "D").alias("_is_delete"))
+        sel.append(
+            (F.coalesce(F.col(f"t.{HIDDEN_DELETED}"), F.lit(False)) == False).alias("_was_live")  # noqa: E712
+        )
+        sel.append(F.col("t.doc_id").isNotNull().alias("_existed"))
+        sel.append(F.col("c.commit_lsn").alias("_chg_lsn"))
+        resolved = joined.select(*sel)
+    else:
+        sel = [F.col("c.doc_id").alias("doc_id")]
+        for name in payload_names:
+            sel.append(F.col(f"c.{name}").alias(name))
+        sel += [
+            F.col("c.commit_lsn").alias(HIDDEN_LSN),
+            F.col("c.op_seq").alias(HIDDEN_SEQ),
+            (F.col("c.op") == "D").alias(HIDDEN_DELETED),
+            F.lit(True).alias("_applied"),
+            (F.col("c.op") == "D").alias("_is_delete"),
+            F.lit(False).alias("_was_live"),
+            F.lit(False).alias("_existed"),
+            F.col("c.commit_lsn").alias("_chg_lsn"),
+        ]
+        resolved = c.select(*sel)
+
+    resolved = resolved.persist()
+    try:
+        n_rows = resolved.count()
+
+        # ---- lineage + fence records, partitioned by a stable key hash
+        lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int").alias("partition_id")
+        lin_rows = (
+            resolved.where(F.col("_applied"))
+            .groupBy(lp)
+            .agg(
+                F.min("_chg_lsn").alias("lsn_min"),
+                F.max("_chg_lsn").alias("lsn_max"),
+                F.sum(F.when(~F.col("_is_delete"), 1).otherwise(0)).alias("rows_upserted"),
+                F.sum(F.when(F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)).alias(
+                    "rows_deleted"
+                ),
+            )
+            .collect()
+        )
+        lineage = [
+            {
+                "checkpoint_epoch": epoch,
+                "partition_id": r["partition_id"],
+                "lsn_min": r["lsn_min"],
+                "lsn_max": r["lsn_max"],
+                "rows_upserted": r["rows_upserted"],
+                "rows_deleted": r["rows_deleted"],
+            }
+            for r in lin_rows
+        ]
+        fences = [
+            {"checkpoint_epoch": epoch, "partition_id": r["partition_id"], "committed_at_snapshot": table.head_id() + 1}
+            for r in lin_rows
+        ] or [{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": table.head_id() + 1}]
+        rows_upserted = sum(r["rows_upserted"] for r in lin_rows)
+        rows_deleted = sum(r["rows_deleted"] for r in lin_rows)
+
+        # ---- apply: range-partition on the merge key, write, collect stats
+        sid_next = table.head_id() + 1
+        stage = table.stage_dir(sid_next)
+        n_files = max(1, min(spark.sparkContext.defaultParallelism, (n_rows // target_rows_per_file) + 1))
+        out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
+        (
+            resolved.select(*out_cols)
+            .repartitionByRange(n_files, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        add_files = [
+            file_stats(os.path.join(stage, fn))
+            for fn in sorted(os.listdir(stage))
+            if fn.endswith(".parquet")
+        ]
+        new_sid = table.commit(
+            add_files=add_files,
+            remove_paths=touched_paths,
+            fences=fences,
+            lineage=lineage,
+            summary={"rows_upserted": rows_upserted, "rows_deleted": rows_deleted, "epoch": epoch},
+        )
+        return MergeResult(new_sid, True, rows_upserted, rows_deleted, len(touched_paths), len(add_files))
+    finally:
+        resolved.unpersist()

@@ -1,0 +1,65 @@
+"""SparkSession construction tuned for the CDC/ingest workload.
+
+Replaces the reference's runtime bootstrap (``Application.scala:15-25`` — ZIO
+runtime + ZLayer wiring) with a SparkSession builder. Every knob here is a
+scale decision:
+
+- AQE on: runtime coalescing of the post-dedup shuffle and skew-join splitting
+  for hot ``doc_id`` ranges (north rule names skew explicitly).
+- ``spark.sql.shuffle.partitions`` proportional to cores locally; on a real
+  cluster this is set ~2-3x total executor cores via ``spark-submit --conf``.
+- Arrow enabled with a large batch size so pandas-UDF token transforms amortize
+  the Python round-trip (SURVEY.md §7.3: Arrow batch sizes are a serial-fraction
+  risk for the >=0.8 scaling-efficiency gate).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "etl-spark-cdc",
+    master: str | None = None,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession.
+
+    ``cores`` only matters for local mode; on a cluster, ``master`` comes from
+    spark-submit and this function only applies SQL-level conf.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        # ~1x cores locally: each reduce task gets a core; AQE coalesces further.
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_or_create(spark: SparkSession | None = None) -> SparkSession:
+    return spark if spark is not None else build_session()
