@@ -42,6 +42,8 @@ class BinlogSpec:
     max_tokens: int = 64       # bench tier raises this toward 2048
     vocab: int = 32_000
     n_buckets: int = 16        # delivery-order file buckets (lsn_bucket=k dirs)
+    include_lang: bool = False  # v2 evolved feed: adds nullable lang column
+    lsn_offset: int = 0        # shift commit_lsn (v2 feed continues after v1)
 
 
 def _u(col, seed: int, tag: int):
@@ -58,7 +60,7 @@ def generate_binlog(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
     df = spark.range(s.n_events).withColumnRenamed("id", "eid")
 
     # total order: two ops per commit_lsn => equal-lsn ties broken by op_seq
-    df = df.withColumn("commit_lsn", (F.col("eid") / 2).cast("long") + 1)
+    df = df.withColumn("commit_lsn", (F.col("eid") / 2).cast("long") + 1 + s.lsn_offset)
     df = df.withColumn("op_seq", F.pmod(F.col("eid"), F.lit(2)).cast("int"))
 
     # skewed key draw: floor(n_keys * u^skew) biases toward low ids
@@ -94,6 +96,12 @@ def generate_binlog(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
     df = df.withColumn("tokens", F.when(is_del, F.lit(None)).otherwise(tokens))
     df = df.withColumn("n_tok", F.when(is_del, F.lit(None)).otherwise(F.size(F.col("tokens"))).cast("int"))
     df = df.withColumn("source", F.when(is_del, F.lit(None)).otherwise(src))
+    if s.include_lang:
+        lang = F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr"), F.lit("zh")),
+            (F.pmod(F.xxhash64(F.col("eid"), F.lit(s.seed), F.lit(8)), F.lit(5)) + 1).cast("int"),
+        )
+        df = df.withColumn("lang", F.when(is_del, F.lit(None)).otherwise(lang))
 
     # delivery order: bounded jitter for ooo_frac of events
     u_ooo = _u(F.col("eid"), s.seed, 5)
