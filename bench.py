@@ -1,0 +1,133 @@
+"""Benchmark harness: CDC binlog replay throughput + headline query timings.
+
+Headline metric (BASELINE.json): change-events/sec applied end-to-end through
+the epoch-fenced MERGE path on a deterministic synthetic binlog (datagen.py;
+the 10^10-event design point scaled to the local tier). Secondary: wall time
+of representative operators at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "replay": {"n_events": N, "events_per_sec": X, ...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS (default 2_000_000),
+BENCH_EPOCHS (default 4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_replay_bench(spark, n_events: int, n_keys: int, epochs: int) -> dict:
+    """Generate a binlog (untimed), then replay it through merge_batch in
+    ``epochs`` sequential epoch-fenced commits (timed)."""
+    import pyspark.sql.functions as F
+
+    from etl_spark.datagen import BinlogSpec, generate_binlog
+    from etl_spark.operators.merge import merge_batch
+    from etl_spark.schema import TARGET_SCHEMA
+    from etl_spark.table import LakeTable
+
+    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    binlog_dir = os.path.join(root, "binlog")
+    spec = BinlogSpec(n_events=n_events, n_keys=n_keys, max_tokens=128, n_buckets=epochs)
+    df = generate_binlog(spark, spec).drop("lsn_bucket")
+    # materialize the feed once so generation cost is excluded from the timing
+    span = (n_events * 2 + epochs) // epochs + 1
+    (
+        df.withColumn("epoch", (F.col("delivery_pos") / span).cast("int"))
+        .drop("delivery_pos")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+        .parquet(binlog_dir)
+    )
+
+    table_root = os.path.join(root, "table")
+    table = LakeTable.create_if_absent(spark, table_root, TARGET_SCHEMA)
+    t0 = time.time()
+    total = 0
+    for e in range(epochs):
+        batch = spark.read.parquet(f"{binlog_dir}/epoch={e}")
+        merge_batch(table, batch, epoch=e)
+    wall = time.time() - t0
+    final_rows = table.read().count()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_events": n_events,
+        "n_keys": n_keys,
+        "epochs": epochs,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": final_rows,
+    }
+
+
+QUERY_SUBSET = [
+    "cdc_lww_dedup",
+    "cdc_replay_merge",
+    "tok_vocab_encode",
+    "tok_chunk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    epochs = int(os.environ.get("BENCH_EPOCHS", "4"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from etl_spark.queries import query_fns
+    from etl_spark.session import build_session
+
+    spark = build_session(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replay = run_replay_bench(spark, n_events=n_events, n_keys=max(1000, n_events // 20), epochs=epochs)
+
+    qtimes: dict[str, float] = {}
+    fns = query_fns()
+    for name in QUERY_SUBSET:
+        t0 = time.time()
+        df = fns[name](spark, sf_dir)
+        n = df.count()
+        qtimes[name] = round(time.time() - t0, 2)
+        _ = n
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_wall_sec",
+                "value": replay["wall_sec"],
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "cpus": cpus,
+                "replay": replay,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,8 @@ def chunk_for_training(
     through as one chunk. Structural heir of the reference's downsample
     (bulk payload reshape before the expensive stage)."""
     stride = stride or seq_len
-    out_schema = f"{id_col} string, chunk_id int, {tokens_col} array<int>, n_tok int"
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, chunk_id int, {tokens_col} array<int>, n_tok int"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Adds the vector capability a training-data pipeline pairs with token dedup:
+near-duplicate detection and approximate-nearest-neighbor retrieval over
+document embeddings.
+
+Two physical strategies:
+
+- **brute-force top-k** — all-pairs cosine + per-query top-k. Exact; the
+  O(n^2 d) baseline used to measure ANN recall. Expressed with built-in
+  higher-order array functions (zip_with/aggregate — JVM-side, codegen'd),
+  never a Python loop.
+- **LSH (random-hyperplane) bucketed top-k** — the scale path: each vector
+  hashes to a sign-pattern bucket per hyperplane table; candidates are pairs
+  sharing a bucket, so cost ~ n * bucket_occupancy instead of n^2. Multiple
+  tables trade recall for cost. An IVF variant would swap the hash for a
+  k-means coarse quantizer — same join shape.
+
+Numeric determinism: embeddings are scaled to exact int64 (round(x * 1e6))
+before any arithmetic, so dot products and norms are integer-exact and
+cross-engine reproducible; cosine is emitted in integer micro-units.
+Hyperplane coefficients are a fixed integer formula (plane p, dim d) ->
+((p*131 + d*31) mod 17) - 8, reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+EMB_SCALE = 1_000_000
+
+
+def scaled_embedding(col: Column | str) -> Column:
+    """array<float> -> exact array<bigint> (micro-units)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * EMB_SCALE).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_micro(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine * 1e6 as bigint from pre-scaled integer vectors + norms.
+
+    All inputs integer-exact, so sqrt/divide see identical doubles in every
+    engine; round() is half-away-from-zero in both Spark and DuckDB.
+    """
+    return F.round(_dot(a, b).cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))) * EMB_SCALE).cast("long")
+
+
+def _prepped(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = scaled_embedding(vec_col)
+    return embeddings.select(F.col(id_col).alias("vid"), v.alias("v")).withColumn("n2", _norm2(F.col("v")))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id, rank,
+    cos_micro). Ties broken by neighbor id (total order => deterministic).
+
+    Plan: broadcast one side of the n x n join (the prepped table is small
+    relative to the product), then a per-query top-k window. At 10^8+ vectors
+    use lsh_topk; this operator is the recall oracle.
+    """
+    from pyspark.sql import Window
+
+    a = _prepped(embeddings, id_col, vec_col).alias("a")
+    b = _prepped(embeddings, id_col, vec_col).alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            cosine_micro(F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_micro")
+    )
+
+
+N_PLANES = 8
+
+
+def hyperplane_bucket(v: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(<v, plane_p>) with the
+    fixed integer plane formula — deterministic, SQL-reproducible."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        coefs = F.array(*[F.lit(((p * 131 + d * 31) % 17) - 8) for d in range(dim)])
+        proj = F.aggregate(F.zip_with(v, coefs, lambda x, c: x * c), F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via hyperplane-bucket candidate
+    generation: join keyed on the bucket id (never all-pairs), exact cosine +
+    top-k within the candidate set. Output shape = brute_force_topk (rank may
+    have fewer than k rows when a bucket is small — the recall trade)."""
+    from pyspark.sql import Window
+
+    prepped = _prepped(embeddings, id_col, vec_col).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), n_planes, dim)
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .where(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            cosine_micro(F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")).alias("cos_micro"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_micro")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold_micro: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_micro) with
+    cosine >= threshold and id_a < id_b. Exact all-pairs here; at scale the
+    same predicate runs over lsh_topk candidates instead."""
+    a = _prepped(embeddings, id_col, vec_col).alias("a")
+    b = _prepped(embeddings, id_col, vec_col).alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine_micro(F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")).alias("cos_micro"),
+        )
+        .where(F.col("cos_micro") >= threshold_micro)
+    )

@@ -1,0 +1,859 @@
+"""Driver-facing query registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair.
+
+Each entry's Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the oracle is equivalent ANSI SQL runnable by DuckDB over the same parquet
+tables (views: region nation customer supplier part orders lineitem events
+documents embeddings). Entries whose semantics are not SQL-expressible (the
+streaming/stateful paths) carry ``None`` and are covered by the pytest oracle
+suite instead.
+
+Cross-engine exactness rules used throughout (the driver hash-compares
+values):
+- no raw doubles or timestamps in outputs: money in integer cents, scores in
+  integer milli/micro units, times as epoch-second bigints;
+- all derived hashing goes through md5 (identical hex in both engines);
+- double arithmetic only ever happens on identical integer-derived operands
+  with identical operation order (IEEE-deterministic), then rounds
+  half-away-from-zero (same rule in Spark and DuckDB);
+- every computed column is aliased identically in both formulations.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_spark.functions import text as T
+from etl_spark.operators import events as EV
+from etl_spark.operators import fuzzy_dedup as FD
+from etl_spark.operators import multimodal as MM
+from etl_spark.operators import similarity as SIM
+from etl_spark.operators.dedup import lww_dedup, lww_dedup_salted
+from etl_spark.operators.merge import merge_batch
+from etl_spark.table import LakeTable
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# CDC core: the events table replayed as a change feed.
+#   doc_id = 'u'||user_id, commit_lsn = event_id (monotone), op_seq = 0,
+#   op = 'D' for event_type='error' (tombstone), else 'U'.
+# =====================================================================
+
+_FEED_SQL = """
+    SELECT 'u' || CAST(user_id AS VARCHAR)      AS doc_id,
+           event_id                              AS commit_lsn,
+           0                                     AS op_seq,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           CAST(round(value * 100) AS BIGINT)    AS value_cents,
+           event_type                            AS source
+    FROM events
+"""
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.col("event_type").alias("source"),
+    )
+
+
+@register(
+    "cdc_lww_dedup",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed)
+    SELECT doc_id, commit_lsn, value_cents, source FROM r WHERE rn = 1
+    """,
+)
+def q_cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW dedup per doc_id on (commit_lsn, op_seq) — max_by hash aggregate
+    (operators/dedup.py strategy 1: partial agg kills skew, no sort)."""
+    out = lww_dedup(_feed(spark, sf_dir).drop("op"))
+    return out.select("doc_id", "commit_lsn", "value_cents", "source")
+
+
+@register(
+    "cdc_lww_dedup_salted",
+    QUERIES.get("cdc_lww_dedup", (None, None))[1]
+    or f"""
+    WITH feed AS ({_FEED_SQL}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed)
+    SELECT doc_id, commit_lsn, value_cents, source FROM r WHERE rn = 1
+    """,
+)
+def q_cdc_lww_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted LWW (hot-key path) — must equal the unsalted result
+    exactly (LWW is a max over a total order: associative + commutative)."""
+    out = lww_dedup_salted(_feed(spark, sf_dir).drop("op"))
+    return out.select("doc_id", "commit_lsn", "value_cents", "source")
+
+
+_REPLAY_ORACLE = f"""
+    WITH feed AS ({_FEED_SQL}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed)
+    SELECT doc_id, value_cents, source FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register("cdc_replay_merge", _REPLAY_ORACLE)
+def q_cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: the feed split into 3 epochs, each applied through
+    the copy-on-write MERGE into a fresh LakeTable (epoch fences, hidden LWW
+    columns, tombstones), with epoch 0 re-applied to prove idempotence. The
+    final table state must equal the single-shot SQL LWW apply."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_replay_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    epochs = [
+        feed.where(F.col("commit_lsn") <= cut1),
+        feed.where((F.col("commit_lsn") > cut1) & (F.col("commit_lsn") <= cut2)),
+        feed.where(F.col("commit_lsn") > cut2),
+    ]
+    for i, ep in enumerate(epochs):
+        merge_batch(table, ep, epoch=i)
+    merge_batch(table, epochs[0], epoch=0)  # idempotent replay: fenced no-op
+    return table.read().select("doc_id", "value_cents", "source")
+
+
+@register(
+    "cdc_tombstone_antijoin",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed),
+    latest AS (SELECT * FROM r WHERE rn = 1)
+    SELECT l.doc_id, l.commit_lsn FROM latest l
+    WHERE l.op <> 'D'
+    """,
+)
+def q_cdc_tombstone_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone application as an explicit anti-join (SURVEY.md §2.5): live
+    keys = LWW winners anti-joined against winning deletes."""
+    feed = _feed(spark, sf_dir)
+    latest = lww_dedup(feed)
+    deletes = latest.where(F.col("op") == "D").select("doc_id")
+    return (
+        latest.join(deletes, on="doc_id", how="left_anti")
+        .select("doc_id", "commit_lsn")
+    )
+
+
+@register(
+    "cdc_schema_evolution",
+    f"""
+    WITH feed AS (
+        SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
+               event_id AS commit_lsn, 0 AS op_seq,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(round(value * 100) AS BIGINT) AS value_cents,
+               CASE WHEN event_id > (SELECT CAST(max(event_id) / 2 AS BIGINT) FROM events)
+                    THEN event_type END AS source
+        FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed)
+    SELECT doc_id, value_cents, source FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the table layer's update-schema API: epoch 0
+    applies the feed without `source`; the table then gains a nullable
+    `source` column (metadata-only commit); epoch 1 carries it. Keys whose
+    winner predates the evolution read back NULL — reconciled at read time,
+    no data rewrite (the Iceberg add-column semantics)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_evo_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut = hi // 2
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut).drop("source"), epoch=0)
+    table.update_schema(add_columns=[("source", "string")])
+    merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1)
+    return table.read().select("doc_id", "value_cents", "source")
+
+
+# =====================================================================
+# Token transforms over the documents corpus (vocab-encoded tokenization)
+# =====================================================================
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_WS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+_ENCODE_SQL = f"""
+    docs AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM docs),
+    vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS INTEGER) AS tid
+              FROM (SELECT DISTINCT w FROM words)),
+    enc AS (SELECT doc_id, list(tid ORDER BY pos) AS tokens
+            FROM words JOIN vocab USING (w) GROUP BY doc_id)
+"""
+
+
+def _encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-encode documents: id = rank of word in sorted distinct vocab.
+
+    The vocab window is a single-partition sort — fine for a vocabulary
+    (bounded, ~10^5-10^6 rows even at 100 TB corpus scale); the expensive
+    side (words) only broadcast-joins against it.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id"), F.posexplode(T.tokenize_ws("text")).alias("pos", "w")
+    )
+    vocab = (
+        words.select("w")
+        .distinct()
+        .withColumn("tid", (F.row_number().over(Window.orderBy("w")) - 1).cast("int"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("pt"))
+        .select("doc_id", F.transform("pt", lambda x: x["tid"]).alias("tokens"))
+    )
+
+
+@register(
+    "tok_count",
+    f"""
+    SELECT doc_id, CAST(len({_WS_SQL}) AS INTEGER) AS n_tok, n_chars FROM documents
+    """,
+)
+def q_tok_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (functions/text.py, pure Catalyst)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tok"), "n_chars"
+    )
+
+
+@register(
+    "tok_vocab_encode",
+    f"""
+    WITH {_ENCODE_SQL}
+    SELECT doc_id, tokens, CAST(len(tokens) AS INTEGER) AS n_tok FROM enc
+    """,
+)
+def q_tok_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocab tokenizer: text -> array<int32> token ids."""
+    from etl_spark.functions.tokens import recount
+
+    enc = _encode(spark, sf_dir)
+    return enc.select("doc_id", "tokens", recount("tokens").alias("n_tok"))
+
+
+@register(
+    "tok_truncate_eos",
+    f"""
+    WITH {_ENCODE_SQL}
+    SELECT doc_id,
+           tokens[1:16] || [CAST(-1 AS INTEGER)] AS tokens,
+           CAST(len(tokens[1:16]) + 1 AS INTEGER) AS n_tok
+    FROM enc
+    """,
+)
+def q_tok_truncate_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate-to-max-len + append-EOS (functions/tokens.py, JVM slice/concat)."""
+    from etl_spark.functions.tokens import append_eos, recount
+
+    enc = _encode(spark, sf_dir)
+    out = enc.select("doc_id", append_eos("tokens", eos_id=-1, max_len=17).alias("tokens"))
+    return out.select("doc_id", "tokens", recount("tokens").alias("n_tok"))
+
+
+@register(
+    "tok_stats",
+    f"""
+    WITH {_ENCODE_SQL}
+    SELECT count(*) AS n_seq,
+           CAST(sum(len(tokens)) AS BIGINT) AS total_tokens,
+           CAST(min(len(tokens)) AS INTEGER) AS min_tokens,
+           CAST(max(len(tokens)) AS INTEGER) AS max_tokens
+    FROM enc
+    """,
+)
+def q_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token stats in one JVM-side aggregate."""
+    enc = _encode(spark, sf_dir)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_seq"),
+        F.sum(F.size("tokens")).alias("total_tokens"),
+        F.min(F.size("tokens")).cast("int").alias("min_tokens"),
+        F.max(F.size("tokens")).cast("int").alias("max_tokens"),
+    )
+
+
+@register(
+    "tok_chunk",
+    f"""
+    WITH {_ENCODE_SQL}
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           tokens[CAST(i*32+1 AS INTEGER):CAST((i+1)*32 AS INTEGER)] AS tokens,
+           CAST(len(tokens[CAST(i*32+1 AS INTEGER):CAST((i+1)*32 AS INTEGER)]) AS INTEGER) AS n_tok
+    FROM enc, LATERAL (SELECT unnest(range((len(tokens) + 31) // 32)) AS i)
+    """,
+)
+def q_tok_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-window chunking via the Arrow mapInPandas kernel
+    (functions/tokens.py chunk_for_training)."""
+    from etl_spark.functions.tokens import chunk_for_training
+
+    enc = _encode(spark, sf_dir)
+    return chunk_for_training(enc, seq_len=32, stride=32)
+
+
+# =====================================================================
+# Text analysis over documents
+# =====================================================================
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (operators/fuzzy_dedup.exact_dedup)."""
+    return FD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _lang_counts_sql() -> str:
+    parts = []
+    for code in sorted(T.LANG_MARKERS):
+        words = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[code])
+        parts.append(f"CAST(len(list_filter(ws, w -> w IN ({words}))) AS INTEGER) AS c_{code}")
+    return ", ".join(parts)
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    c AS (SELECT doc_id, {_lang_counts_sql()} FROM d)
+    SELECT doc_id,
+           CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM c
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic (functions/text.lang_id)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    m AS (SELECT doc_id,
+                 len(ws) AS n_words,
+                 CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_chars,
+                 len(list_filter(ws, w -> w IN ({", ".join(f"'{w}'" for w in T.STOPWORDS)}))) AS stop_cnt
+          FROM d)
+    SELECT doc_id,
+           CAST(CASE WHEN n_words >= 5 AND n_words <= 10000 THEN 400 ELSE 0 END
+              + CASE WHEN total_chars >= n_words * 3 AND total_chars <= n_words * 12 THEN 300 ELSE 0 END
+              + CASE WHEN stop_cnt * 100 >= n_words THEN 300 ELSE 0 END AS INTEGER) AS quality_milli
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact heuristic quality score (functions/text.quality_score_milli)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.quality_score_milli("text").alias("quality_milli")
+    )
+
+
+@register(
+    "text_word_topk",
+    f"""
+    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    w AS (SELECT unnest(ws) AS word FROM d),
+    f AS (SELECT word, count(*) AS freq FROM w GROUP BY word)
+    SELECT word, freq, CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS INTEGER) AS rank
+    FROM f ORDER BY rank LIMIT 20
+    """,
+)
+def q_text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word frequencies: explode -> partial-agg count -> global top-k
+    (the classic two-stage count with a final single-reducer limit)."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokenize_ws("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("word", "freq", "rank")
+    )
+
+
+# =====================================================================
+# Fuzzy dedup + similarity (documents, embeddings)
+# =====================================================================
+
+_SHINGLES_SQL = f"""
+    sdocs AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    sh0 AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+                                  j -> array_to_string(ws[CAST(j AS INTEGER):CAST(j + 2 AS INTEGER)], ' ')) AS shs
+            FROM sdocs),
+    sh AS (SELECT DISTINCT doc_id AS sid, unnest(shs) AS shingle FROM sh0),
+    ssize AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY sid)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+              GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 CAST(1000 * n_inter AS BIGINT) // (sa.n_sh + sb.n_sh - n_inter) AS jaccard_milli
+          FROM inter
+          JOIN ssize sa ON sa.sid = id_a
+          JOIN ssize sb ON sb.sid = id_b)
+    SELECT id_a, id_b, jaccard_milli FROM j WHERE jaccard_milli >= {{thr}}
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_PAIRS_SQL.format(thr=300))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs >= 0.3 (inverted-index self-join)."""
+    return FD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold_milli=300)
+
+
+def _minhash_sql() -> str:
+    """DuckDB formulation of the k=16 MinHash signature + b=4 band LSH +
+    exact-Jaccard verification — mirrors operators/fuzzy_dedup.minhash_lsh_pairs."""
+    k, bands = FD.MINHASH_K, 4
+    r = k // bands
+    mins = ", ".join(
+        f"min(({FD.MINHASH_A[i]} * h + {FD.MINHASH_B[i]}) % {FD.MINHASH_P}) AS mh{i}"
+        for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        f"""SELECT sid, {j} AS band_id,
+            concat_ws('_', {", ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(j * r, (j + 1) * r))}) AS band_key
+            FROM sig"""
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (SELECT sid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM sh),
+    sig AS (SELECT sid, {mins} FROM hashed GROUP BY sid),
+    banded AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+             FROM banded a JOIN banded b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.sid < b.sid),
+    inter AS (SELECT id_a, id_b, count(*) AS n_inter
+              FROM cand
+              JOIN sh pa ON pa.sid = id_a
+              JOIN sh pb ON pb.sid = id_b AND pb.shingle = pa.shingle
+              GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b,
+                 CAST(1000 * n_inter AS BIGINT) // (sa.n_sh + sb.n_sh - n_inter) AS jaccard_milli
+          FROM inter
+          JOIN ssize sa ON sa.sid = id_a
+          JOIN ssize sb ON sb.sid = id_b)
+    SELECT id_a, id_b, jaccard_milli FROM j WHERE jaccard_milli >= 300
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_sql())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) candidate generation with exact-Jaccard verify
+    at 0.3 — the corpus-scale near-dup path (never all-pairs)."""
+    return FD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold_milli=300)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+    votes AS (SELECT doc_id, b,
+                     sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hashed, LATERAL (SELECT unnest(range(60)) AS b)
+              GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (operators/fuzzy_dedup.simhash)."""
+    return FD.simhash(_t(spark, sf_dir, "documents"))
+
+
+_EMB_PREP_SQL = """
+    prep AS (SELECT vec_id AS vid,
+                    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+             FROM embeddings),
+    pn AS (SELECT vid, v,
+                  CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+           FROM prep)
+"""
+
+_COS_SQL = (
+    "CAST(round(CAST(list_sum(list_transform(range(1, 65), "
+    "i -> a.v[CAST(i AS INTEGER)] * b.v[CAST(i AS INTEGER)])) AS BIGINT) "
+    "/ (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMB_PREP_SQL}
+    SELECT a.vid AS id_a, b.vid AS id_b, {_COS_SQL} AS cos_micro
+    FROM pn a JOIN pn b ON a.vid < b.vid
+    WHERE {_COS_SQL} >= 400000
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= 0.4 (integer-exact arithmetic)."""
+    return SIM.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold_micro=400_000)
+
+
+@register(
+    "ann_topk",
+    f"""
+    WITH {_EMB_PREP_SQL},
+    pairs AS (SELECT a.vid AS vec_id, b.vid AS neighbor_id, {_COS_SQL} AS cos_micro
+              FROM pn a JOIN pn b ON a.vid <> b.vid),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos_micro DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM pairs)
+    SELECT vec_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-3 cosine neighbors (the ANN recall baseline)."""
+    return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def _lsh_bucket_sql(planes: int = SIM.N_PLANES) -> str:
+    terms = []
+    for p in range(planes):
+        proj = (
+            f"CAST(list_sum(list_transform(range(0, 64), "
+            f"d -> v[CAST(d + 1 AS INTEGER)] * ((({p} * 131 + d * 31) % 17) - 8))) AS BIGINT)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH {_EMB_PREP_SQL},
+    bucketed AS (SELECT vid, v, n2, {_lsh_bucket_sql()} AS bucket FROM pn),
+    pairs AS (SELECT DISTINCT a.vid AS vec_id, b.vid AS neighbor_id, {_COS_SQL} AS cos_micro
+              FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vid <> b.vid),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos_micro DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM pairs)
+    SELECT vec_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-3 (the scale ANN path:
+    candidates come from a bucket join, never the n^2 product)."""
+    return SIM.lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+# =====================================================================
+# Relational coverage (TPC-H-style): scan/filter/join/agg/window/sort/limit
+# =====================================================================
+
+
+@register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary in exact integer cents (predicate pushed to
+    the parquet scan; one partial+final hash aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    price = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty_cents"),
+            F.sum(price).alias("sum_base_price_cents"),
+            F.sum(price * (100 - disc)).alias("sum_disc_price_c4"),
+            F.sum(price * (100 - disc) * (100 + tax)).alias("sum_charge_c6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_c4 DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dimension filter -> join -> agg -> top-k. The
+    filtered customer side is broadcast (no shuffle of lineitem by custkey)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        F.broadcast(c)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "revenue_c4",
+        )
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN supplier s ON s.s_nationkey = n.n_nationkey
+                  JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE r.r_name = (SELECT min(r_name) FROM region)
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: small dims broadcast down to the lineitem
+    probe; region pinned to the lexicographically first region name so the
+    query is sf-independent."""
+    r = _t(spark, sf_dir, "region")
+    first_region = r.agg(F.min("r_name")).collect()[0][0]
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    dims = (
+        r.where(F.col("r_name") == first_region)
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+    )
+
+
+@register(
+    "win_top3_orders_per_cust",
+    """
+    WITH r AS (SELECT o_custkey, o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+                      CAST(row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+               FROM orders)
+    SELECT o_custkey, o_orderkey, totalprice_cents, rn FROM r WHERE rn <= 3
+    """,
+)
+def q_win_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-k window (one range shuffle on the partition key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "rn",
+        )
+    )
+
+
+# =====================================================================
+# Event-stream operators (batch formulation of the streaming ops)
+# =====================================================================
+
+
+@register(
+    "events_tumbling_counts",
+    """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation (operators/events.tumbling_counts; the
+    same expression runs incrementally under Structured Streaming)."""
+    return EV.tumbling_counts(_t(spark, sf_dir, "events"), width="1 hour")
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+    m AS (SELECT user_id, event_id, es,
+                 CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e),
+    s AS (SELECT user_id, es,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+          FROM m)
+    SELECT user_id, session_id,
+           min(es) AS session_start, max(es) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (operators/events.sessionize)."""
+    return EV.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# =====================================================================
+# Multimodal binary plumbing
+# =====================================================================
+
+
+@register(
+    "mm_binary_meta",
+    """
+    WITH p AS (SELECT doc_id, encode(text) AS payload FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+           sha256(CAST(payload AS VARCHAR)) AS sha256,
+           CASE WHEN left(CAST(payload AS VARCHAR), 4) = 'GIF8' THEN 'gif'
+                WHEN left(CAST(payload AS VARCHAR), 4) = 'RIFF' THEN 'riff'
+                ELSE 'unknown' END AS format
+    FROM p
+    """,
+)
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction, JVM-side (operators/multimodal).
+    Payloads here are utf-8 text bytes (no media libs in the container), so
+    the printable magics (GIF8/RIFF) are the only sniffable formats — the
+    oracle mirrors exactly that subset."""
+    docs = _t(spark, sf_dir, "documents").withColumn("payload", MM.to_binary_payload("text"))
+    return MM.binary_meta(docs)
+
+
+# =====================================================================
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

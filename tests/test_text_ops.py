@@ -1,0 +1,164 @@
+"""Tests for text functions, fuzzy dedup, similarity, events, multimodal ops."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_spark.functions import text as T
+from etl_spark.operators import fuzzy_dedup as FD
+from etl_spark.operators import multimodal as MM
+from etl_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "El perro y el gato de la casa"),
+        (6, "  The   QUICK brown fox  jumps over the lazy dog "),  # normalizes to 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_normalize_and_tokenize(spark):
+    df = spark.createDataFrame([("  A  b\tC  ",)], "text string")
+    out = df.select(T.tokenize_ws("text").alias("t")).collect()[0]["t"]
+    assert out == ["a", "b", "c"]
+
+
+def test_exact_dedup_groups(docs):
+    out = FD.exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    # 1, 3 and 6 normalize to identical content
+    assert by_keep[1] == 3
+    assert sum(r["n_dups"] for r in out) == 6
+
+
+def test_fingerprint_matches_normalized(docs):
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[6] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    out = df.select(T.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert out == ["one two"]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = FD.ngram_jaccard_pairs(docs, threshold_milli=500).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups have jaccard 1000; near-dup 1-2 shares most shingles
+    assert (1, 3) in got and (1, 6) in got and (3, 6) in got
+    assert (1, 2) in got
+    assert all(not (a == 4 or b == 4) for a, b in got)
+
+
+def test_minhash_lsh_subset_of_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard_milli"]
+        for r in FD.ngram_jaccard_pairs(docs, threshold_milli=300).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard_milli"]
+        for r in FD.minhash_lsh_pairs(docs, threshold_milli=300).collect()
+    }
+    # LSH output is a subset of exact pairs with identical jaccard values
+    for pair, j in lsh.items():
+        assert exact[pair] == j
+    # identical docs always collide in every band -> never missed
+    assert (1, 3) in lsh and (1, 6) in lsh
+
+
+def test_simhash_identical_for_dups_and_blocking(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in FD.simhash(docs).collect()}
+    assert sh[1] == sh[3] == sh[6]
+    assert sh[1] != sh[4]
+    pairs = FD.simhash_near_pairs(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 3)] == 0 and got[(1, 6)] == 0 and got[(3, 6)] == 0
+
+
+def test_lang_id_und_and_match(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"), (2, "el gato y la casa de que"), (3, "xyz qqq")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", T.lang_id("text").alias("l")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_score_components(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog today"),  # all three pass
+            (2, "xy"),  # too short, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["q"] for r in df.select("doc_id", T.quality_score_milli("text").alias("q")).collect()}
+    assert out[1] == 1000
+    assert out[2] == 0  # too short, mean word len 2 < 3, no stopwords
+
+
+def test_embedding_cosine_identical_vectors(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = SIM.embedding_near_dup_pairs(df, threshold_micro=990_000).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["cos_micro"] == 1_000_000
+
+
+def test_brute_force_topk_shape(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.brute_force_topk(df, k=2).collect()
+    assert len(out) == 8  # 4 vectors x k=2
+    for r in out:
+        assert r["vec_id"] != r["neighbor_id"]
+
+
+def test_lsh_topk_agrees_on_identical(spark):
+    rows = [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.lsh_topk(df, k=1, dim=8).collect()
+    top = {r["vec_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top.get(1) == 2 and top.get(2) == 1
+
+
+def test_binary_meta_and_sniffing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "GIF89a-not-really")], "doc_id long, text string")
+    payload = df.withColumn("payload", MM.to_binary_payload("text"))
+    out = {r["doc_id"]: r for r in MM.binary_meta(payload).collect()}
+    assert out[1]["n_bytes"] == 11
+    import hashlib
+
+    assert out[1]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert out[2]["format"] == "gif"
+    assert out[1]["format"] == "unknown"
+
+
+def test_decode_stub_raises_and_fake_works(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string").withColumn(
+        "payload", MM.to_binary_payload("text")
+    )
+    fake = MM.decode_and_featurize(df, fake=True).collect()
+    assert len(fake) == 1 and len(fake[0]["features"]) == 8
+    with pytest.raises(Exception):
+        MM.decode_and_featurize(df, fake=False).collect()
+
+
+def test_decode_kernel_is_arrow_vectorized(spark):
+    from etl_spark.functions.tokens import assert_vectorized_plan
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string").withColumn(
+        "payload", MM.to_binary_payload("text")
+    )
+    assert_vectorized_plan(MM.decode_and_featurize(df, fake=True))
