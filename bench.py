@@ -10,6 +10,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <sf>,
    "replay": {"n_events": N, "events_per_sec": X, ...}}
 
+Worker mode (used by tools/run_scaling.py for the N-vs-4N-cores scaling
+evidence): ``python bench.py --replay-only BINLOG_DIR EPOCHS CORES`` replays a
+pre-generated binlog at the given parallelism and prints one JSON line.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_EVENTS (default 2_000_000),
 BENCH_EPOCHS (default 4).
@@ -27,22 +31,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_replay_bench(spark, n_events: int, n_keys: int, epochs: int) -> dict:
-    """Generate a binlog (untimed), then replay it through merge_batch in
-    ``epochs`` sequential epoch-fenced commits (timed)."""
+def gen_binlog(spark, binlog_dir: str, n_events: int, n_keys: int, epochs: int) -> None:
+    """Materialize the deterministic feed partitioned into epoch dirs
+    (generation is excluded from replay timings)."""
     import pyspark.sql.functions as F
 
     from etl_spark.datagen import BinlogSpec, generate_binlog
-    from etl_spark.operators.merge import merge_batch
-    from etl_spark.schema import TARGET_SCHEMA
-    from etl_spark.table import LakeTable
 
-    root = tempfile.mkdtemp(prefix="bench_cdc_")
-    binlog_dir = os.path.join(root, "binlog")
     spec = BinlogSpec(n_events=n_events, n_keys=n_keys, max_tokens=128, n_buckets=epochs)
     df = generate_binlog(spark, spec).drop("lsn_bucket")
-    # materialize the feed once so generation cost is excluded from the timing
-    span = (n_events * 2 + epochs) // epochs + 1
+    span = (n_events + spec.ooo_window) // epochs + 1
     (
         df.withColumn("epoch", (F.col("delivery_pos") / span).cast("int"))
         .drop("delivery_pos")
@@ -52,24 +50,40 @@ def run_replay_bench(spark, n_events: int, n_keys: int, epochs: int) -> dict:
         .parquet(binlog_dir)
     )
 
-    table_root = os.path.join(root, "table")
+
+def replay_binlog(spark, binlog_dir: str, epochs: int, n_events: int) -> dict:
+    """Replay the binlog through epoch-fenced MERGE commits (timed)."""
+    from etl_spark.operators.merge import merge_batch
+    from etl_spark.schema import TARGET_SCHEMA
+    from etl_spark.table import LakeTable
+
+    table_root = tempfile.mkdtemp(prefix="bench_table_")
     table = LakeTable.create_if_absent(spark, table_root, TARGET_SCHEMA)
     t0 = time.time()
-    total = 0
     for e in range(epochs):
         batch = spark.read.parquet(f"{binlog_dir}/epoch={e}")
         merge_batch(table, batch, epoch=e)
     wall = time.time() - t0
     final_rows = table.read().count()
-    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(table_root, ignore_errors=True)
     return {
         "n_events": n_events,
-        "n_keys": n_keys,
         "epochs": epochs,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(n_events / wall, 1),
         "final_rows": final_rows,
     }
+
+
+def run_replay_bench(spark, n_events: int, n_keys: int, epochs: int) -> dict:
+    root = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        gen_binlog(spark, os.path.join(root, "binlog"), n_events, n_keys, epochs)
+        out = replay_binlog(spark, os.path.join(root, "binlog"), epochs, n_events)
+        out["n_keys"] = n_keys
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 QUERY_SUBSET = [
@@ -87,7 +101,31 @@ QUERY_SUBSET = [
 ]
 
 
+def _count_events(binlog_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = 0
+    for dirpath, _dirs, files in os.walk(binlog_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(dirpath, fn)).num_rows
+    return n
+
+
 def main() -> None:
+    from etl_spark.queries import query_fns
+    from etl_spark.session import build_session
+
+    if len(sys.argv) >= 2 and sys.argv[1] == "--replay-only":
+        binlog_dir, epochs, cores = sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+        spark = build_session(app_name=f"bench-replay-{cores}", cores=cores, shuffle_partitions=cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        n_events = _count_events(binlog_dir)
+        out = replay_binlog(spark, binlog_dir, epochs, n_events)
+        out["cores"] = cores
+        print(json.dumps(out))
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
@@ -96,9 +134,6 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = 0.1
-
-    from etl_spark.queries import query_fns
-    from etl_spark.session import build_session
 
     spark = build_session(app_name="bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,152 @@
+"""spark-submit entry point for the CDC engine.
+
+The reference's orchestration entry is ``Application.scala:13-35`` (wire
+services, run pipelines in sequence); here the driver program is a CLI that
+wires a SparkSession and runs one of the engine's flows. On a cluster::
+
+    spark-submit --py-files etl_spark.zip -m etl_spark.cli \\
+        stream --binlog s3://bucket/binlog --table s3://bucket/table \\
+               --checkpoint s3://bucket/ckpt
+
+Subcommands:
+  gen      write a deterministic synthetic binlog (datagen.BinlogSpec knobs)
+  replay   batch-replay a binlog dir into a table, one epoch per lsn_bucket
+  stream   Structured-Streaming tail (AvailableNow) with checkpoint resume
+  compact  small-file compaction on a table
+  lineage  print the table's lineage ledger + exactly-once coverage report
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import re
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl-spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores (default: SPARK_GRAFT_CPUS)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=1_000_000)
+    g.add_argument("--keys", type=int, default=50_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--buckets", type=int, default=16)
+
+    r = sub.add_parser("replay")
+    r.add_argument("--binlog", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--salted", action="store_true", help="use the salted hot-key dedup path")
+
+    s = sub.add_parser("stream")
+    s.add_argument("--binlog", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--max-files-per-trigger", type=int, default=4)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--table", required=True)
+    c.add_argument("--small-file-rows", type=int, default=100_000)
+
+    li = sub.add_parser("lineage")
+    li.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+
+    from etl_spark.session import build_session
+
+    spark = build_session(app_name=f"etl-spark-{args.cmd}", cores=args.cores)
+
+    if args.cmd == "gen":
+        from etl_spark.datagen import BinlogSpec, write_binlog
+
+        write_binlog(
+            spark,
+            BinlogSpec(n_events=args.events, n_keys=args.keys, seed=args.seed, n_buckets=args.buckets),
+            args.out,
+        )
+        print(json.dumps({"written": args.out, "events": args.events}))
+        return 0
+
+    from etl_spark.schema import TARGET_SCHEMA
+    from etl_spark.table import LakeTable
+
+    if args.cmd == "replay":
+        from etl_spark.operators.merge import merge_batch
+
+        table = LakeTable.create_if_absent(spark, args.table, TARGET_SCHEMA)
+        buckets = sorted(
+            int(re.search(r"=(\d+)$", d).group(1)) for d in glob.glob(f"{args.binlog}/lsn_bucket=*")
+        )
+        for b in buckets:
+            res = merge_batch(
+                table,
+                spark.read.parquet(f"{args.binlog}/lsn_bucket={b}"),
+                epoch=b,
+                use_salted_dedup=args.salted,
+            )
+            print(
+                json.dumps(
+                    {
+                        "epoch": b,
+                        "applied": res.applied,
+                        "rows_upserted": res.rows_upserted,
+                        "rows_deleted": res.rows_deleted,
+                        "snapshot": res.snapshot_id,
+                    }
+                )
+            )
+        return 0
+
+    if args.cmd == "stream":
+        from etl_spark.streaming.tail import run_stream_replay
+
+        report = run_stream_replay(
+            spark,
+            binlog_dir=args.binlog,
+            table_root=args.table,
+            checkpoint_dir=args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(
+            json.dumps(
+                {"batches": len(report.batches), "applied": report.applied_batches, "rows_upserted": report.rows_upserted}
+            )
+        )
+        return 0
+
+    if args.cmd == "compact":
+        from etl_spark.table.maintenance import compact
+
+        table = LakeTable(spark, args.table)
+        sid = compact(table, small_file_rows=args.small_file_rows)
+        print(json.dumps({"snapshot": sid}))
+        return 0
+
+    if args.cmd == "lineage":
+        from etl_spark.lineage import coverage
+
+        table = LakeTable(spark, args.table)
+        rep = coverage(table)
+        print(
+            json.dumps(
+                {
+                    "epochs": rep.epochs,
+                    "lsn_lo": rep.lsn_lo,
+                    "lsn_hi": rep.lsn_hi,
+                    "rows_upserted": rep.rows_upserted,
+                    "rows_deleted": rep.rows_deleted,
+                    "exactly_once_ok": rep.ok,
+                }
+            )
+        )
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,9 +11,12 @@ join touches minimal data (SURVEY.md §4.1).
 Three physical strategies, same logical result:
 
 1. ``lww_dedup`` (default): ``max_by(struct(payload), struct(lsn, seq))``
-   hash aggregate. This is the scale winner: partial (map-side) aggregation
+   aggregate. This is the scale winner: partial (map-side) aggregation
    means a hot doc_id is pre-combined on every input partition before the
-   shuffle, so skew largely disappears for free, and there is no sort.
+   shuffle, so skew largely disappears for free. (Physically Spark plans
+   SortAggregate — the array-payload buffer is immutable, ruling out the
+   hash variant — but the partial/final split, which is what kills skew,
+   is preserved; asserted in tests/test_plans.py.)
 2. ``lww_dedup_window``: window + ``row_number() = 1``. Requires a full
    sort-shuffle of all events per key; kept for plan comparison and because
    it generalizes to top-k.

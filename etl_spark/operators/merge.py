@@ -92,6 +92,9 @@ def merge_batch(
 
     changes = _normalize_changes(table, changes)
     dedup = lww_dedup_salted(changes) if use_salted_dedup else lww_dedup(changes)
+    # dedup feeds both the file-touch planning and the resolve join; persist
+    # so the feed scan + dedup shuffle run once per batch, not twice
+    dedup = dedup.persist()
 
     # ---- plan: which files does this batch touch?
     files = table.files()
@@ -195,23 +198,26 @@ def merge_batch(
 
     resolved = resolved.persist()
     try:
-        n_rows = resolved.count()
-
-        # ---- lineage + fence records, partitioned by a stable key hash
+        # ---- one aggregation job: row count + per-partition lineage
+        # (partitioned by a stable key hash); fused so the resolved relation
+        # is scanned once for metadata and once for the write
+        applied = F.col("_applied")
         lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int").alias("partition_id")
-        lin_rows = (
-            resolved.where(F.col("_applied"))
-            .groupBy(lp)
+        all_rows = (
+            resolved.groupBy(lp)
             .agg(
-                F.min("_chg_lsn").alias("lsn_min"),
-                F.max("_chg_lsn").alias("lsn_max"),
-                F.sum(F.when(~F.col("_is_delete"), 1).otherwise(0)).alias("rows_upserted"),
-                F.sum(F.when(F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)).alias(
-                    "rows_deleted"
-                ),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(F.when(applied, F.col("_chg_lsn"))).alias("lsn_min"),
+                F.max(F.when(applied, F.col("_chg_lsn"))).alias("lsn_max"),
+                F.sum(F.when(applied & ~F.col("_is_delete"), 1).otherwise(0)).alias("rows_upserted"),
+                F.sum(
+                    F.when(applied & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
+                ).alias("rows_deleted"),
             )
             .collect()
         )
+        n_rows = sum(r["n_rows"] for r in all_rows)
+        lin_rows = [r for r in all_rows if r["lsn_min"] is not None]
         lineage = [
             {
                 "checkpoint_epoch": epoch,
@@ -233,7 +239,12 @@ def merge_batch(
         # ---- apply: range-partition on the merge key, write, collect stats
         sid_next = table.head_id() + 1
         stage = table.stage_dir(sid_next)
-        n_files = max(1, min(spark.sparkContext.defaultParallelism, (n_rows // target_rows_per_file) + 1))
+        # file count: ~target_rows_per_file rows each, floored at cluster
+        # parallelism so the apply write always uses every core — a single
+        # write partition is a serial fraction that caps scaling (Amdahl);
+        # compaction (table/maintenance.py) re-packs small files later.
+        par = spark.sparkContext.defaultParallelism
+        n_files = max(par, (n_rows // target_rows_per_file) + 1)
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         (
             resolved.select(*out_cols)
@@ -257,3 +268,4 @@ def merge_batch(
         return MergeResult(new_sid, True, rows_upserted, rows_deleted, len(touched_paths), len(add_files))
     finally:
         resolved.unpersist()
+        dedup.unpersist()
