@@ -77,7 +77,7 @@ def merge_batch(
     table: LakeTable,
     changes: DataFrame,
     epoch: int,
-    lineage_partitions: int = 32,
+    lineage_partitions: int = 16,
     target_rows_per_file: int = 1_000_000,
     use_salted_dedup: bool = False,
 ) -> MergeResult:
@@ -198,43 +198,27 @@ def merge_batch(
 
     resolved = resolved.persist()
     try:
-        # ---- one aggregation job: row count + per-partition lineage
-        # (partitioned by a stable key hash); fused so the resolved relation
-        # is scanned once for metadata and once for the write
+        # ---- lineage metrics ride the apply pass itself (CollectMetrics /
+        # Observation): no separate aggregation job scans the resolved
+        # relation. Per-lineage-partition min/max/sums are expressed as
+        # conditional aggregates over a stable key hash.
+        from pyspark.sql import Observation
+
         applied = F.col("_applied")
-        lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int").alias("partition_id")
-        all_rows = (
-            resolved.groupBy(lp)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.min(F.when(applied, F.col("_chg_lsn"))).alias("lsn_min"),
-                F.max(F.when(applied, F.col("_chg_lsn"))).alias("lsn_max"),
-                F.sum(F.when(applied & ~F.col("_is_delete"), 1).otherwise(0)).alias("rows_upserted"),
+        lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int")
+        metric_exprs = [F.count(F.lit(1)).alias("n_rows")]
+        for p in range(lineage_partitions):
+            inp = applied & (lp == p)
+            metric_exprs += [
+                F.min(F.when(inp, F.col("_chg_lsn"))).alias(f"lsn_min_{p}"),
+                F.max(F.when(inp, F.col("_chg_lsn"))).alias(f"lsn_max_{p}"),
+                F.sum(F.when(inp & ~F.col("_is_delete"), 1).otherwise(0)).alias(f"ups_{p}"),
                 F.sum(
-                    F.when(applied & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
-                ).alias("rows_deleted"),
-            )
-            .collect()
-        )
-        n_rows = sum(r["n_rows"] for r in all_rows)
-        lin_rows = [r for r in all_rows if r["lsn_min"] is not None]
-        lineage = [
-            {
-                "checkpoint_epoch": epoch,
-                "partition_id": r["partition_id"],
-                "lsn_min": r["lsn_min"],
-                "lsn_max": r["lsn_max"],
-                "rows_upserted": r["rows_upserted"],
-                "rows_deleted": r["rows_deleted"],
-            }
-            for r in lin_rows
-        ]
-        fences = [
-            {"checkpoint_epoch": epoch, "partition_id": r["partition_id"], "committed_at_snapshot": table.head_id() + 1}
-            for r in lin_rows
-        ] or [{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": table.head_id() + 1}]
-        rows_upserted = sum(r["rows_upserted"] for r in lin_rows)
-        rows_deleted = sum(r["rows_deleted"] for r in lin_rows)
+                    F.when(inp & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
+                ).alias(f"del_{p}"),
+            ]
+        obs = Observation(f"merge-epoch-{epoch}")
+        observed = resolved.observe(obs, *metric_exprs)
 
         # ---- apply: range-partition on the merge key, write, collect stats
         sid_next = table.head_id() + 1
@@ -243,16 +227,41 @@ def merge_batch(
         # parallelism so the apply write always uses every core — a single
         # write partition is a serial fraction that caps scaling (Amdahl);
         # compaction (table/maintenance.py) re-packs small files later.
+        # Sized from an upper-bound estimate (previous rows + batch keys) so
+        # no extra count job runs before the write.
         par = spark.sparkContext.defaultParallelism
-        n_files = max(par, (n_rows // target_rows_per_file) + 1)
+        prev_rows = sum(f["rows"] for f in files)
+        est_rows = prev_rows + max(0, target_rows_per_file // 10)
+        n_files = max(par, (est_rows // target_rows_per_file) + 1)
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         (
-            resolved.select(*out_cols)
+            observed.select(*out_cols)
             .repartitionByRange(n_files, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(stage)
         )
+        m = obs.get
+        lineage = []
+        for p in range(lineage_partitions):
+            if m[f"lsn_min_{p}"] is None:
+                continue
+            lineage.append(
+                {
+                    "checkpoint_epoch": epoch,
+                    "partition_id": p,
+                    "lsn_min": m[f"lsn_min_{p}"],
+                    "lsn_max": m[f"lsn_max_{p}"],
+                    "rows_upserted": m[f"ups_{p}"],
+                    "rows_deleted": m[f"del_{p}"],
+                }
+            )
+        fences = [
+            {"checkpoint_epoch": epoch, "partition_id": r["partition_id"], "committed_at_snapshot": table.head_id() + 1}
+            for r in lineage
+        ] or [{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": table.head_id() + 1}]
+        rows_upserted = sum(r["rows_upserted"] for r in lineage)
+        rows_deleted = sum(r["rows_deleted"] for r in lineage)
         add_files = [
             file_stats(os.path.join(stage, fn))
             for fn in sorted(os.listdir(stage))

@@ -152,6 +152,80 @@ def q_cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "value_cents", "source")
 
 
+@register("cdc_replay_merge_salted", _REPLAY_ORACLE)
+def q_cdc_replay_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay through the salted hot-key dedup path (north rule's skew
+    path) — must produce the identical final state."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_replay_salted_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut = hi // 2
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut), epoch=0, use_salted_dedup=True)
+    merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1, use_salted_dedup=True)
+    return table.read().select("doc_id", "value_cents", "source")
+
+
+@register("cdc_stream_replay", _REPLAY_ORACLE)
+def q_cdc_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same replay through the real Structured Streaming tail
+    (streaming/tail.py): the feed is laid out as lsn-bucketed parquet files,
+    tailed with the file source under Trigger.AvailableNow, and applied in
+    epoch-fenced microbatches. Final state is batching-invariant, so the
+    single-shot SQL LWW oracle still applies."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    from etl_spark.streaming.tail import run_stream_replay
+
+    feed = _feed(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="etl_spark_q_stream_")
+    binlog = f"{root}/binlog"
+    (
+        feed.withColumn("lsn_bucket", F.pmod(F.col("commit_lsn"), F.lit(4)).cast("int"))
+        .repartition(4, "lsn_bucket")
+        .write.mode("overwrite")
+        .partitionBy("lsn_bucket")
+        .parquet(binlog)
+    )
+    feed_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("commit_lsn", LongType(), False),
+            StructField("op_seq", IntegerType(), False),
+            StructField("op", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    target_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    run_stream_replay(
+        spark,
+        binlog_dir=binlog,
+        table_root=f"{root}/table",
+        checkpoint_dir=f"{root}/ckpt",
+        feed_schema=feed_schema,
+        target_schema=target_schema,
+        max_files_per_trigger=2,
+    )
+    table = LakeTable(spark, f"{root}/table")
+    return table.read().select("doc_id", "value_cents", "source")
+
+
 @register(
     "cdc_tombstone_antijoin",
     f"""
@@ -819,6 +893,59 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization (operators/events.sessionize)."""
     return EV.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+           c.event_id AS click_event_id,
+           c.value_cents AS click_value_cents,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_epoch
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the user's
+    most recent click at-or-before it — the point-in-time operator Spark's
+    API lacks, built as union + running `last(ignorenulls)` window (one
+    sort-shuffle, the merge-join lower bound). Oracle is DuckDB's native
+    ASOF JOIN."""
+    from etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_cols=["event_id", "value_cents"],
+        strict=False,
+        suffix="_c",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("event_id_c").alias("click_event_id"),
+        F.col("value_cents_c").alias("click_value_cents"),
+        F.unix_timestamp("ts_c").alias("click_ts_epoch"),
+    )
 
 
 # =====================================================================
