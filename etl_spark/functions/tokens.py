@@ -123,6 +123,42 @@ def chunk_for_training(
     return df.select(id_col, tokens_col).mapInPandas(gen, schema=out_schema)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in deterministic id order)
+    to consecutive packs of at most ``budget`` total tokens — the classic
+    fill-the-context-window step before training.
+
+    Deterministic streaming formulation (no Python): running token cumsum
+    over id order; a document starts a new pack when the budget would
+    overflow. Exact greedy first-fit-in-order is not a prefix-sum (pack
+    boundaries depend on earlier breaks), so the engine uses the standard
+    scalable approximation ``pack_id = floor((cumsum - n_tok) / budget)``:
+    packs can exceed budget by at most one document's tokens, boundaries are
+    identical across engines, and the whole thing is one window over one
+    range shuffle. Documents longer than the budget should be chunked first
+    (chunk_for_training).
+
+    Output: (pack_id, n_docs, total_tokens, doc_ids).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = df.select(F.col(id_col), F.size(tokens_col).alias("_n"))
+    packed = sized.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "pack_id", F.floor((F.col("_cum") - F.col("_n")) / budget).cast("int")
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("total_tokens"),
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+    )
+
+
 # ------------------------------------------------------------ plan police
 
 

@@ -267,17 +267,19 @@ def q_cdc_tombstone_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution through the table layer's update-schema API: epoch 0
-    applies the feed without `source`; the table then gains a nullable
-    `source` column (metadata-only commit); epoch 1 carries it. Keys whose
-    winner predates the evolution read back NULL — reconciled at read time,
-    no data rewrite (the Iceberg add-column semantics)."""
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    applies the feed with `value_cents: int` and no `source`; the table then
+    gains a nullable `source` column AND widens `value_cents` int -> bigint
+    (both metadata-only commits, no data rewrite); epoch 1 carries the
+    evolved shape. Keys whose winner predates the evolution read back NULL
+    `source` and their int values reconciled to bigint at read time — the
+    Iceberg add-column / type-promotion semantics."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     feed = _feed(spark, sf_dir)
     schema = StructType(
         [
             StructField("doc_id", StringType(), False),
-            StructField("value_cents", LongType(), True),
+            StructField("value_cents", IntegerType(), True),
         ]
     )
     root = tempfile.mkdtemp(prefix="etl_spark_q_evo_")
@@ -285,7 +287,7 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
     cut = hi // 2
     merge_batch(table, feed.where(F.col("commit_lsn") <= cut).drop("source"), epoch=0)
-    table.update_schema(add_columns=[("source", "string")])
+    table.update_schema(add_columns=[("source", "string")], widen={"value_cents": "bigint"})
     merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1)
     return table.read().select("doc_id", "value_cents", "source")
 
@@ -418,6 +420,29 @@ def q_tok_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc = _encode(spark, sf_dir)
     return chunk_for_training(enc, seq_len=32, stride=32)
+
+
+@register(
+    "tok_pack_sequences",
+    f"""
+    WITH {_ENCODE_SQL},
+    sized AS (SELECT doc_id, len(tokens) AS n FROM enc),
+    packed AS (SELECT doc_id, n,
+                      CAST(floor((sum(n) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n) / 256.0) AS INTEGER) AS pack_id
+               FROM sized)
+    SELECT pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+           list(doc_id ORDER BY doc_id) AS doc_ids
+    FROM packed GROUP BY pack_id
+    """,
+)
+def q_tok_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token training packs
+    (functions/tokens.pack_sequences — window cumsum, one range shuffle)."""
+    from etl_spark.functions.tokens import pack_sequences
+
+    enc = _encode(spark, sf_dir)
+    return pack_sequences(enc, budget=256)
 
 
 # =====================================================================

@@ -23,6 +23,7 @@ snapshot still works until ``expire_snapshots``.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 
@@ -64,6 +65,36 @@ def compact(table: LakeTable, small_file_rows: int = 100_000, target_rows_per_fi
         target_rows_per_file=target_rows_per_file,
         summary={"maintenance": "compact", "files_in": len(small)},
     )
+
+
+def gc_orphans(table: LakeTable) -> list[str]:
+    """Remove data files referenced by NO snapshot — the debris of a write
+    that crashed between staging its files and committing (the commit is the
+    atomic point; staged-but-uncommitted files are invisible to readers and
+    safe to delete). Single-writer assumption: no in-flight write exists when
+    this runs (same assumption as the HEAD-rename commit protocol,
+    table.py docstring). Returns the removed paths."""
+    head = table.head_id()
+    referenced = {f["path"] for s in range(head + 1) for f in table.snapshot(s)["files"]}
+    removed: list[str] = []
+    if not os.path.isdir(table.data_dir):
+        return removed
+    for d in sorted(os.listdir(table.data_dir)):
+        full = os.path.join(table.data_dir, d)
+        if not os.path.isdir(full):
+            continue
+        entries = sorted(os.listdir(full))
+        parquet = [os.path.join(full, fn) for fn in entries if fn.endswith(".parquet")]
+        if not any(p in referenced for p in parquet):
+            # wholly-orphaned stage dir: remove it including _SUCCESS/.crc markers
+            removed.extend(parquet)
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        for p in parquet:
+            if p not in referenced:
+                os.remove(p)
+                removed.append(p)
+    return removed
 
 
 def expire_tombstones(table: LakeTable, low_watermark_lsn: int, target_rows_per_file: int = 1_000_000) -> int | None:

@@ -7,7 +7,12 @@ import pandas as pd
 import pytest
 
 from etl_spark.datagen import BinlogSpec, generate_binlog
-from etl_spark.operators.dedup import lww_dedup, lww_dedup_salted, lww_dedup_window
+from etl_spark.operators.dedup import (
+    lww_dedup,
+    lww_dedup_fetch,
+    lww_dedup_salted,
+    lww_dedup_window,
+)
 
 SPEC = BinlogSpec(n_events=4000, n_keys=300, seed=7, skew=2.5)
 
@@ -25,7 +30,7 @@ def feed(spark):
     return df
 
 
-@pytest.mark.parametrize("strategy", [lww_dedup, lww_dedup_window, lww_dedup_salted])
+@pytest.mark.parametrize("strategy", [lww_dedup, lww_dedup_window, lww_dedup_salted, lww_dedup_fetch])
 def test_dedup_matches_oracle(spark, feed, strategy):
     got = strategy(feed).toPandas().sort_values("doc_id").reset_index(drop=True)
     exp = _oracle_winners(feed.toPandas())

@@ -107,7 +107,7 @@ def test_tokens_transforms_stay_codegen(spark):
     from etl_spark.functions.tokens import append_eos, clamp_vocab, truncate_tokens
 
     df = spark.range(100).select(
-        F.sequence(F.lit(1), F.lit(50)).cast("array<int>").alias("tokens")
+        F.sequence(F.lit(1), (F.col("id") % 50 + 1).cast("int")).cast("array<int>").alias("tokens")
     )
     out = df.select(
         truncate_tokens("tokens", 16).alias("a"),
@@ -115,5 +115,6 @@ def test_tokens_transforms_stay_codegen(spark):
         clamp_vocab("tokens", 40, -1).alias("c"),
     )
     plan = _plan(out)
-    assert "WholeStageCodegen" in plan
+    # "*(n)" is the WholeStageCodegen marker in executedPlan().toString()
+    assert "WholeStageCodegen" in plan or "*(" in plan
     assert "BatchEvalPython" not in plan
