@@ -218,7 +218,6 @@ def merge_batch(
                 ).alias(f"del_{p}"),
             ]
         obs = Observation(f"merge-epoch-{epoch}")
-        observed = resolved.observe(obs, *metric_exprs)
 
         # ---- apply: range-partition on the merge key, write, collect stats
         sid_next = table.head_id() + 1
@@ -234,9 +233,17 @@ def merge_batch(
         est_rows = prev_rows + max(0, target_rows_per_file // 10)
         n_files = max(par, (est_rows // target_rows_per_file) + 1)
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
+        metric_cols = ["_applied", "_is_delete", "_existed", "_was_live", "_chg_lsn"]
         (
-            observed.select(*out_cols)
+            resolved.select(*out_cols, *metric_cols)
             .repartitionByRange(n_files, "doc_id")
+            # observe sits ABOVE the range exchange: the boundary-sampling
+            # job only executes the exchange's child, so the metrics are
+            # evaluated exactly once — in the write job (a CollectMetrics
+            # below the exchange would be executed by both passes and
+            # double-count; caught by the cdc_lineage_counts oracle)
+            .observe(obs, *metric_exprs)
+            .drop(*metric_cols)
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(stage)

@@ -257,7 +257,7 @@ def q_cdc_tombstone_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_id AS commit_lsn, 0 AS op_seq,
                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
                CAST(round(value * 100) AS BIGINT) AS value_cents,
-               CASE WHEN event_id > (SELECT CAST(max(event_id) / 2 AS BIGINT) FROM events)
+               CASE WHEN event_id > (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) FROM events)
                     THEN event_type END AS source
         FROM events),
     r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
@@ -290,6 +290,95 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.update_schema(add_columns=[("source", "string")], widen={"value_cents": "bigint"})
     merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1)
     return table.read().select("doc_id", "value_cents", "source")
+
+
+@register(
+    "cdc_time_travel",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    cut AS (SELECT CAST(floor(max(commit_lsn) / 2) AS BIGINT) AS v FROM feed),
+    r AS (SELECT f.*, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed f WHERE commit_lsn <= (SELECT v FROM cut))
+    SELECT doc_id, value_cents, source FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: replay two epochs, then read the
+    table AT the snapshot committed by epoch 0 — must equal the LWW fold of
+    only the first half of the feed (later commits invisible)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_tt_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut = hi // 2
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut), epoch=0)
+    snap_after_e0 = table.head_id()
+    merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1)
+    return table.read(sid=snap_after_e0).select("doc_id", "value_cents", "source")
+
+
+@register(
+    "cdc_lineage_counts",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    cut AS (SELECT CAST(floor(max(commit_lsn) / 2) AS BIGINT) AS v FROM feed),
+    r1 AS (SELECT f.*, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+           FROM feed f WHERE commit_lsn <= (SELECT v FROM cut)),
+    w1 AS (SELECT * FROM r1 WHERE rn = 1),
+    r2 AS (SELECT f.*, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+           FROM feed f WHERE commit_lsn > (SELECT v FROM cut)),
+    w2 AS (SELECT * FROM r2 WHERE rn = 1)
+    SELECT CAST(0 AS BIGINT) AS checkpoint_epoch,
+           (SELECT count(*) FROM w1 WHERE op <> 'D') AS rows_upserted,
+           CAST(0 AS BIGINT) AS rows_deleted
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           (SELECT count(*) FROM w2 WHERE op <> 'D'),
+           (SELECT count(*) FROM w2 JOIN w1 USING (doc_id)
+            WHERE w2.op = 'D' AND w1.op <> 'D')
+    """,
+)
+def q_cdc_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineage ledger itself, oracle-checked: per-epoch rows_upserted /
+    rows_deleted emitted by the engine's Observation-fused metrics must
+    reconcile with the SQL-derived expected counts (epoch-0 winners insert;
+    epoch-1 winners always beat epoch-0 state; deletes count only when the
+    key was live)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_spark.lineage import lineage_df
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_lin_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut = hi // 2
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut), epoch=0)
+    merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1)
+    return (
+        lineage_df(table)
+        .groupBy("checkpoint_epoch")
+        .agg(
+            F.sum("rows_upserted").alias("rows_upserted"),
+            F.sum("rows_deleted").alias("rows_deleted"),
+        )
+    )
 
 
 # =====================================================================

@@ -86,6 +86,19 @@ def test_lineage_coverage_and_fence_uniqueness(spark, tmp_path):
     rep = coverage(table)
     assert rep.ok
     assert rep.epochs == 4
+    # exact reconciliation: each epoch's rows_upserted must equal that
+    # epoch's distinct non-delete LWW winners applied on top of prior state.
+    # For epoch 0 on an empty table that is simply its winner count — guards
+    # against metric double-counting (observe executed by >1 job)
+    span = feed.agg(F.max("delivery_pos")).collect()[0][0] // 4 + 1
+    e0 = feed.where((F.col("delivery_pos") / span).cast("int") == 0)
+    from etl_spark.operators.dedup import lww_dedup
+
+    exp_ups0 = lww_dedup(e0.drop("delivery_pos")).where(F.col("op") != "D").count()
+    got_ups0 = sum(
+        r["rows_upserted"] for r in table.lineage() if r["checkpoint_epoch"] == 0
+    )
+    assert got_ups0 == exp_ups0
     lo = feed.agg(F.min("commit_lsn")).collect()[0][0]
     hi = feed.agg(F.max("commit_lsn")).collect()[0][0]
     assert rep.lsn_lo >= lo and rep.lsn_hi <= hi
