@@ -80,9 +80,15 @@ def merge_batch(
     lineage_partitions: int = 16,
     target_rows_per_file: int = 1_000_000,
     use_salted_dedup: bool = False,
+    resolve_strategy: str = "auto",
+    max_broadcast_rows: int = 100_000,
 ) -> MergeResult:
     """Apply one change batch exactly-once. Returns a no-op result if the
-    epoch is already fenced (idempotent replay)."""
+    epoch is already fenced (idempotent replay).
+
+    ``resolve_strategy``: 'auto' (broadcast the deduped batch into the
+    resolve join when it has <= max_broadcast_rows rows, else sort-merge
+    full-outer), 'broadcast', or 'smj'."""
     spark = table.spark
     if table.is_fenced(epoch):
         return MergeResult(table.head_id(), False, 0, 0, 0, 0)
@@ -101,13 +107,21 @@ def merge_batch(
     plannable = [f for f in files if f["min_key"] is not None]
     unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
     touched_paths: set[str] = {f["path"] for f in unplannable}
+    n_changes: int | None = None
     if plannable:
+        from pyspark.sql import Observation
+
         stats_df = spark.createDataFrame(
             [(f["path"], f["min_key"], f["max_key"]) for f in plannable],
             "path string, min_key string, max_key string",
         )
+        # the batch-size signal for the resolve-strategy choice rides the
+        # planning job as an Observation — no extra action (a dedup.count()
+        # here would recompute the whole dedup before the cache exists)
+        obs_plan = Observation(f"plan-epoch-{epoch}")
         hits = (
-            dedup.select("doc_id")
+            dedup.observe(obs_plan, F.count(F.lit(1)).alias("n"))
+            .select("doc_id")
             .join(
                 F.broadcast(stats_df),
                 (F.col("doc_id") >= F.col("min_key")) & (F.col("doc_id") <= F.col("max_key")),
@@ -117,6 +131,7 @@ def merge_batch(
             .collect()
         )
         touched_paths |= {r["path"] for r in hits}
+        n_changes = obs_plan.get["n"]
 
     # ---- resolve LWW against the touched slice of the table
     if touched_paths:
@@ -136,13 +151,45 @@ def merge_batch(
     else:
         target = None
 
-    c = dedup.alias("c")
-    change_cols = {
-        "doc_id": F.coalesce(F.col("c.doc_id"), F.col("t.doc_id")) if target is not None else F.col("c.doc_id")
-    }
+    def _changes_only_rows(df: DataFrame) -> DataFrame:
+        """Format change rows that have no target counterpart (new keys /
+        empty table): the change always applies."""
+        sel = [F.col("doc_id")]
+        for name in payload_names:
+            sel.append(F.col(name))
+        sel += [
+            F.col("commit_lsn").alias(HIDDEN_LSN),
+            F.col("op_seq").alias(HIDDEN_SEQ),
+            (F.col("op") == "D").alias(HIDDEN_DELETED),
+            F.lit(True).alias("_applied"),
+            (F.col("op") == "D").alias("_is_delete"),
+            F.lit(False).alias("_was_live"),
+            F.lit(False).alias("_existed"),
+            F.col("commit_lsn").alias("_chg_lsn"),
+        ]
+        return df.select(*sel)
+
     if target is not None:
+        # Strategy: the full-outer SortMergeJoin shuffles the touched target
+        # payload a second time (range write already shuffles it once). When
+        # the deduped batch is small — the common microbatch case — the same
+        # result decomposes into (a) target LEFT OUTER broadcast(changes):
+        # target payload never crosses the wire for the join, and (b) a
+        # keys-only anti-join supplying brand-new keys. Fallback to the SMJ
+        # full-outer for bulk batches above the broadcast budget: measured on
+        # 400k-row deduped batches (~220 MB with token payloads) the
+        # broadcast build/probe costs MORE than the SMJ shuffle (8.4M-event
+        # replay: 41s vs 25-30s at 8 cores), so the auto threshold stays at
+        # true-microbatch scale.
+        use_broadcast = resolve_strategy == "broadcast" or (
+            resolve_strategy == "auto" and n_changes is not None and n_changes <= max_broadcast_rows
+        )
+        c = dedup.alias("c")
         t = target.alias("t")
-        joined = t.join(c, on=F.col("t.doc_id") == F.col("c.doc_id"), how="full_outer")
+        if use_broadcast:
+            joined = t.join(F.broadcast(c), on=F.col("t.doc_id") == F.col("c.doc_id"), how="left_outer")
+        else:
+            joined = t.join(c, on=F.col("t.doc_id") == F.col("c.doc_id"), how="full_outer")
         change_wins = F.col("t.doc_id").isNull() | (
             F.col("c.commit_lsn").isNotNull()
             & (
@@ -154,7 +201,7 @@ def merge_batch(
             )
         )
         has_change = F.col("c.doc_id").isNotNull()
-        sel = [change_cols["doc_id"].alias("doc_id")]
+        sel = [F.coalesce(F.col("c.doc_id"), F.col("t.doc_id")).alias("doc_id")]
         for name in payload_names:
             sel.append(
                 F.when(has_change & change_wins, F.col(f"c.{name}"))
@@ -180,21 +227,13 @@ def merge_batch(
         sel.append(F.col("t.doc_id").isNotNull().alias("_existed"))
         sel.append(F.col("c.commit_lsn").alias("_chg_lsn"))
         resolved = joined.select(*sel)
+        if use_broadcast:
+            # brand-new keys: anti-join against a keys-only (column-pruned)
+            # scan of the touched files — narrow shuffle of keys, no payload
+            new_rows = dedup.join(target.select("doc_id"), on="doc_id", how="left_anti")
+            resolved = resolved.unionByName(_changes_only_rows(new_rows))
     else:
-        sel = [F.col("c.doc_id").alias("doc_id")]
-        for name in payload_names:
-            sel.append(F.col(f"c.{name}").alias(name))
-        sel += [
-            F.col("c.commit_lsn").alias(HIDDEN_LSN),
-            F.col("c.op_seq").alias(HIDDEN_SEQ),
-            (F.col("c.op") == "D").alias(HIDDEN_DELETED),
-            F.lit(True).alias("_applied"),
-            (F.col("c.op") == "D").alias("_is_delete"),
-            F.lit(False).alias("_was_live"),
-            F.lit(False).alias("_existed"),
-            F.col("c.commit_lsn").alias("_chg_lsn"),
-        ]
-        resolved = c.select(*sel)
+        resolved = _changes_only_rows(dedup)
 
     resolved = resolved.persist()
     try:

@@ -49,6 +49,23 @@ def test_final_state_invariant_to_epoch_partitioning(spark, tmp_path):
     feed.unpersist()
 
 
+def test_final_state_invariant_to_resolve_strategy(spark, tmp_path):
+    """Broadcast-decomposed resolve (left-outer + keys-only anti) must equal
+    the full-outer SMJ resolve exactly, across multiple epochs."""
+    spec = BinlogSpec(n_events=3000, n_keys=250, seed=29, tombstone_frac=0.12)
+    feed = generate_binlog(spark, spec).drop("lsn_bucket").cache()
+    hi_pos = feed.agg(F.max("delivery_pos")).collect()[0][0]
+    span = hi_pos // 3 + 1
+    expected = replay_oracle(feed.drop("delivery_pos").toPandas())
+    for strategy in ("smj", "broadcast"):
+        table = LakeTable.create_if_absent(spark, str(tmp_path / strategy), TARGET_SCHEMA)
+        for e in range(3):
+            batch = feed.where((F.col("delivery_pos") / span).cast("int") == e).drop("delivery_pos")
+            merge_batch(table, batch, epoch=e, resolve_strategy=strategy)
+        assert_state_equal(table.read(include_hidden=True).toPandas(), expected)
+    feed.unpersist()
+
+
 def test_final_state_invariant_to_salting(spark, tmp_path):
     spec = BinlogSpec(n_events=3000, n_keys=50, seed=23, skew=4.0, tombstone_frac=0.1)
     feed = generate_binlog(spark, spec).drop("lsn_bucket", "delivery_pos").cache()
