@@ -645,6 +645,103 @@ def q_text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_pipeline",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS ntext, {_WS_SQL} AS ws FROM documents),
+    m AS (SELECT doc_id, ntext, ws,
+                 len(ws) AS n_words,
+                 CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_chars,
+                 len(list_filter(ws, w -> w IN ({", ".join(f"'{w}'" for w in T.STOPWORDS)}))) AS stop_cnt
+          FROM norm),
+    scored AS (SELECT doc_id, ntext, ws,
+                      CASE WHEN n_words >= 5 AND n_words <= 10000 THEN 400 ELSE 0 END
+                    + CASE WHEN total_chars >= n_words * 3 AND total_chars <= n_words * 12 THEN 300 ELSE 0 END
+                    + CASE WHEN stop_cnt * 100 >= n_words THEN 300 ELSE 0 END AS q
+               FROM m),
+    kept AS (SELECT * FROM scored WHERE q >= 700),
+    deduped AS (SELECT md5(ntext) AS fp, min(doc_id) AS doc_id FROM kept GROUP BY 1),
+    survivors AS (SELECT k.doc_id, k.ws FROM kept k JOIN deduped d ON k.doc_id = d.doc_id),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM survivors),
+    vocab AS (SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS INTEGER) AS tid
+              FROM (SELECT DISTINCT w FROM words)),
+    enc AS (SELECT doc_id, list(tid ORDER BY pos) AS tokens
+            FROM words JOIN vocab USING (w) GROUP BY doc_id)
+    SELECT doc_id,
+           tokens[1:128] AS tokens,
+           CAST(len(tokens[1:128]) AS INTEGER) AS n_tok
+    FROM enc
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline in ONE lineage:
+    normalize -> quality-score filter (>=0.7) -> exact dedup (keep min id)
+    -> vocab tokenize -> truncate to 128. Every stage is an engine operator;
+    the whole chain is narrow transforms + two aggregates, so Catalyst fuses
+    it into a handful of stages."""
+    from etl_spark.functions.tokens import truncate_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", T.quality_score_milli("text").alias("q"), T.fingerprint("text").alias("fp")
+    ).where(F.col("q") >= 700)
+    keep = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = scored.join(keep, on=["fp", "doc_id"]).select("doc_id", "text")
+
+    words = survivors.select("doc_id", F.posexplode(T.tokenize_ws("text")).alias("pos", "w"))
+    vocab = (
+        words.select("w")
+        .distinct()
+        .withColumn("tid", (F.row_number().over(Window.orderBy("w")) - 1).cast("int"))
+    )
+    enc = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("pt"))
+        .select("doc_id", F.transform("pt", lambda x: x["tid"]).alias("tokens"))
+    )
+    out = enc.select("doc_id", truncate_tokens("tokens", 128).alias("tokens"))
+    return out.select("doc_id", "tokens", F.size("tokens").cast("int").alias("n_tok"))
+
+
+@register(
+    "docs_source_ntok_median",
+    f"""
+    WITH d AS (SELECT source, CAST(len({_WS_SQL}) AS INTEGER) AS n_tok FROM documents),
+    s AS (SELECT source, n_tok, row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM d)
+    SELECT source,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_tok END) AS INTEGER) AS median_ntok,
+           CAST(max(n) AS BIGINT) AS n_docs
+    FROM s GROUP BY source
+    """,
+)
+def q_docs_source_ntok_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lower-median token count via grouped applyInPandas (the
+    Arrow grouped-map kernel — each source's rows arrive as one pandas
+    DataFrame). Median = sorted[(n-1)//2], deterministic in both engines."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", T.token_count("text").alias("n_tok")
+    )
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = sorted(pdf["n_tok"])
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "median_ntok": [int(v[(len(v) - 1) // 2])],
+                "n_docs": [len(v)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        median_fn, schema="source string, median_ntok int, n_docs long"
+    )
+
+
 # =====================================================================
 # Fuzzy dedup + similarity (documents, embeddings)
 # =====================================================================
