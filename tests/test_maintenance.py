@@ -77,6 +77,32 @@ def test_expire_tombstones_respects_watermark(spark, tmp_path):
     feed.unpersist()
 
 
+def test_expire_snapshots_keeps_head_and_ledger(spark, tmp_path):
+    import os
+
+    import pytest
+
+    table, feed = _replayed_table(spark, tmp_path, seed=13)
+    head_before = table.read(include_hidden=True).toPandas()
+    old_files = [f["path"] for f in table.files(1)]
+    n_fences = len(table.fences())
+    table.expire_snapshots(keep_last=1)
+    # head snapshot still fully readable and identical
+    expected = replay_oracle(feed.drop("delivery_pos").toPandas())
+    assert_state_equal(table.read(include_hidden=True).toPandas(), expected)
+    assert len(head_before) == table.read(include_hidden=True).count()
+    # data files referenced only by expired snapshots are gone...
+    live = {f["path"] for f in table.files()}
+    assert any(not os.path.exists(p) for p in old_files if p not in live)
+    # ...but the fence/lineage ledger survives (metadata is never dropped)
+    assert len(table.fences()) == n_fences
+    assert table.is_fenced(0)
+    # time travel to an expired snapshot now fails at read time
+    with pytest.raises(Exception):
+        table.read(sid=1).collect()
+    feed.unpersist()
+
+
 def test_lineage_coverage_and_fence_uniqueness(spark, tmp_path):
     table, feed = _replayed_table(spark, tmp_path)
     # replaying an already-fenced epoch must not add lineage
