@@ -813,6 +813,42 @@ def _minhash_sql() -> str:
     """
 
 
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    inter AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+              GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b
+          FROM inter
+          JOIN ssize sa ON sa.sid = id_a
+          JOIN ssize sb ON sb.sid = id_b
+          WHERE CAST(1000 * n_inter AS BIGINT) // (sa.n_sh + sb.n_sh - n_inter) >= 300),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM j UNION SELECT id_b, id_a FROM j),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+    """,
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: 3-gram-Jaccard >= 0.3 pairs -> iterative
+    min-label connected components (operators/components.py). The oracle is
+    the transitive closure via a recursive CTE — component = min reachable
+    doc_id, singletons label themselves."""
+    from etl_spark.operators.components import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = FD.ngram_jaccard_pairs(docs, threshold_milli=300)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 @register("dedup_minhash_lsh", _minhash_sql())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4x4) candidate generation with exact-Jaccard verify
