@@ -327,6 +327,48 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_snapshot_diff",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    cut AS (SELECT CAST(floor(max(commit_lsn) / 2) AS BIGINT) AS v FROM feed),
+    r2 AS (SELECT f.*, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+           FROM feed f WHERE commit_lsn > (SELECT v FROM cut)),
+    w2 AS (SELECT * FROM r2 WHERE rn = 1)
+    SELECT doc_id,
+           CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS change_op,
+           CASE WHEN op = 'D' THEN NULL ELSE value_cents END AS value_cents,
+           CASE WHEN op = 'D' THEN NULL ELSE source END AS source
+    FROM w2
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog between snapshots (CDC-out / Iceberg
+    incremental-read analog): diff(epoch-0 snapshot, epoch-1 snapshot) must
+    be exactly the second half's LWW winners — upserts as 'U' rows with
+    payload, deletes as 'D' tombstone notices — and must NOT include rows
+    merely rewritten by copy-on-write."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_diff_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut = hi // 2
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut), epoch=0)
+    s1 = table.head_id()
+    merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1)
+    s2 = table.head_id()
+    return table.diff(s1, s2).select("doc_id", "change_op", "value_cents", "source")
+
+
+@register(
     "cdc_lineage_counts",
     f"""
     WITH feed AS ({_FEED_SQL}),

@@ -221,6 +221,84 @@ class LakeTable:
             df = df.drop(HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED)
         return df
 
+    def read_range(
+        self,
+        lo: str | None = None,
+        hi: str | None = None,
+        sid: int | None = None,
+        include_hidden: bool = False,
+    ) -> DataFrame:
+        """Key-range read: scan ONLY files whose [min_key, max_key] span
+        intersects [lo, hi] (manifest pruning — the serving-path analog of
+        the merge planner), then apply the residual predicate. Because the
+        apply write is range-partitioned, a point or range lookup touches
+        O(range/keyspace) of the files, not all of them."""
+        snap = self.snapshot(sid)
+        keep = []
+        for f in snap["files"]:
+            if f["min_key"] is None:
+                keep.append(f["path"])  # no stats -> cannot prune
+                continue
+            if (hi is not None and f["min_key"] > hi) or (lo is not None and f["max_key"] < lo):
+                continue
+            keep.append(f["path"])
+        if not keep:
+            return self.read(sid=sid, include_hidden=include_hidden).where(F.lit(False))
+        schema = StructType.fromJson(snap["schema"])
+        raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(keep))
+        proj = []
+        for fld in schema.fields:
+            if fld.name in raw.columns:
+                proj.append(F.col(fld.name).cast(relax_nullability(fld.dataType)).alias(fld.name))
+            else:
+                proj.append(F.lit(None).cast(relax_nullability(fld.dataType)).alias(fld.name))
+        for h, t in ((HIDDEN_LSN, "long"), (HIDDEN_SEQ, "int"), (HIDDEN_DELETED, "boolean")):
+            proj.append((F.col(h) if h in raw.columns else F.lit(None)).cast(t).alias(h))
+        out = raw.select(*proj).where(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        if lo is not None:
+            out = out.where(F.col("doc_id") >= lo)
+        if hi is not None:
+            out = out.where(F.col("doc_id") <= hi)
+        if not include_hidden:
+            out = out.drop(HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED)
+        return out
+
+    def diff(self, sid_a: int, sid_b: int) -> DataFrame:
+        """Incremental changelog between two snapshots (CDC-out, the Iceberg
+        incremental-read analog): one row per key whose state changed, with
+        ``change_op`` 'U' (insert or update — the new row) or 'D' (the key
+        went dead). Computed as a keyed diff on the persisted LWW version
+        columns, so copy-on-write file rewrites of UNchanged rows do not
+        appear."""
+        a = self.read(sid=sid_a, include_hidden=True, include_deleted=True).select(
+            "doc_id",
+            F.col(HIDDEN_LSN).alias("_lsn_a"),
+            F.col(HIDDEN_SEQ).alias("_seq_a"),
+            F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)).alias("_del_a"),
+        )
+        b = self.read(sid=sid_b, include_hidden=True, include_deleted=True)
+        bj = b.alias("b").join(a.alias("a"), on="doc_id", how="full_outer")
+        changed = (
+            F.col("a._lsn_a").isNull()
+            | F.col(f"b.{HIDDEN_LSN}").isNull()
+            | (F.col(f"b.{HIDDEN_LSN}") != F.col("a._lsn_a"))
+            | (F.col(f"b.{HIDDEN_SEQ}") != F.col("a._seq_a"))
+            | (F.coalesce(F.col(f"b.{HIDDEN_DELETED}"), F.lit(False)) != F.col("a._del_a"))
+        )
+        # live in B = present and not tombstoned; a key absent from B (or
+        # tombstoned) reports as 'D'
+        live_b = F.col(f"b.{HIDDEN_LSN}").isNotNull() & ~F.coalesce(
+            F.col(f"b.{HIDDEN_DELETED}"), F.lit(False)
+        )
+        payload = [c for c in b.columns if not c.startswith("_") and c != "doc_id"]
+        return bj.where(changed).select(
+            F.col("doc_id"),
+            F.when(live_b, F.lit("U")).otherwise(F.lit("D")).alias("change_op"),
+            *[F.when(live_b, F.col(f"b.{c}")).otherwise(F.lit(None)).alias(c) for c in payload],
+            F.col(f"b.{HIDDEN_LSN}").alias(HIDDEN_LSN),
+            F.col(f"b.{HIDDEN_SEQ}").alias(HIDDEN_SEQ),
+        )
+
     # -------------------------------------------------------------- commits
 
     def stage_dir(self, sid: int) -> str:
