@@ -891,6 +891,47 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
+@register(
+    "dedup_cluster_filter",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    inter AS (SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+              GROUP BY 1, 2),
+    j AS (SELECT id_a, id_b
+          FROM inter
+          JOIN ssize sa ON sa.sid = id_a
+          JOIN ssize sb ON sb.sid = id_b
+          WHERE CAST(1000 * n_inter AS BIGINT) // (sa.n_sh + sb.n_sh - n_inter) >= 300),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM j UNION SELECT id_b, id_a FROM j),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN comp ON comp.id = d.doc_id
+    WHERE comp.id = comp.c
+    """,
+)
+def q_dedup_cluster_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup removal application: Jaccard pairs -> connected
+    components -> keep only each cluster's representative -> surviving
+    corpus rows (what a training pipeline actually feeds downstream)."""
+    from etl_spark.operators.components import dedup_representatives
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = FD.ngram_jaccard_pairs(docs, threshold_milli=300)
+    reps = dedup_representatives(docs.select(F.col("doc_id").alias("id")), pairs, id_col="id")
+    return (
+        docs.join(
+            reps.where(F.col("keep")).select(F.col("id").alias("doc_id")),
+            on="doc_id",
+        ).select("doc_id", "source", "n_chars")
+    )
+
+
 @register("dedup_minhash_lsh", _minhash_sql())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4x4) candidate generation with exact-Jaccard verify
@@ -1143,6 +1184,144 @@ def q_win_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 # Event-stream operators (batch formulation of the streaming ops)
 # =====================================================================
+
+
+@register(
+    "win_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS running_cents
+    FROM orders
+    """,
+)
+def q_win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue (explicit ROWS frame over a range
+    shuffle on the partition key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).alias("running_cents"),
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH u AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                      min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+               FROM events GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_click,
+           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS n_full_funnel
+    FROM u
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> first later click -> first later purchase):
+    one conditional-min aggregate per stage, then ordering predicates —
+    single shuffle on user_id, no joins."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(
+            F.when(F.col("t_signup").isNotNull() & (F.col("t_click") > F.col("t_signup")), 1).otherwise(0)
+        ).alias("n_signup_click"),
+        F.sum(
+            F.when(
+                F.col("t_signup").isNotNull()
+                & (F.col("t_click") > F.col("t_signup"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "tpch_q10_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue_c4 DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue per customer, top 20. The
+    customer dimension broadcasts; lineitem is filtered at the scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH prep AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+                  FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS scale_micro
+          FROM prep)
+    SELECT vec_id,
+           scale_micro,
+           list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale_micro AS DOUBLE)) AS INTEGER)) AS q
+    FROM s WHERE scale_micro > 0
+    """,
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (training-data compression op):
+    per-vector scale = max|x|, q_i = round(127 * x_i / scale). All arithmetic
+    flows through exact micro-unit integers so both engines see identical
+    doubles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = SIM.scaled_embedding("embedding")
+    prepped = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale_micro", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))).cast("long")
+    )
+    return prepped.where(F.col("scale_micro") > 0).select(
+        "vec_id",
+        "scale_micro",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x.cast("double") * 127 / F.col("scale_micro").cast("double")).cast("int"),
+        ).alias("q"),
+    )
 
 
 @register(
