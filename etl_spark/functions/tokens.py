@@ -81,13 +81,47 @@ def chunk_for_training(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Split long documents into fixed-length training windows (with optional
-    overlap) — group-wise array surgery Catalyst can't express, so a
-    mapInPandas Arrow kernel: each batch of documents explodes into chunk
-    rows via numpy slicing, never per-row Python.
+    overlap) — pure Catalyst: ``explode(sequence(0, last_chunk))`` + a
+    ``slice`` at ``chunk_id * stride``, all whole-stage codegen'd JVM-side
+    (no Python at all; the Arrow variant below is the parity reference).
 
-    Output: (doc_id, chunk_id, tokens, n_tok). Rows shorter than seq_len pass
-    through as one chunk. Structural heir of the reference's downsample
-    (bulk payload reshape before the expensive stage)."""
+    Chunk starts are ``k * stride`` for ``k = 0..last``; for docs longer than
+    ``seq_len``, ``last = min(ceil((n - seq_len)/stride), ceil(n/stride)-1)``
+    — the first term ends chunking at the first window reaching the tail, the
+    second guards stride > seq_len (no empty windows). Shorter docs pass
+    through as one chunk.
+
+    Output: (doc_id, chunk_id, tokens, n_tok). Structural heir of the
+    reference's downsample (bulk payload reshape before the expensive
+    stage)."""
+    stride = stride or seq_len
+    n = F.size(F.col(tokens_col))
+    k_tail = F.expr(f"(size({tokens_col}) - {seq_len} + {stride - 1}) div {stride}")
+    k_last_nonempty = F.expr(f"(size({tokens_col}) + {stride - 1}) div {stride} - 1")
+    last = F.when(n <= seq_len, F.lit(0)).otherwise(F.least(k_tail, k_last_nonempty)).cast("int")
+    return (
+        df.select(id_col, tokens_col)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), last)))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice(F.col(tokens_col), F.col("chunk_id") * stride + 1, seq_len).alias(tokens_col),
+        )
+        .withColumn("n_tok", F.size(F.col(tokens_col)).cast("int"))
+    )
+
+
+def chunk_for_training_arrow(
+    df: DataFrame,
+    seq_len: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow mapInPandas formulation of chunk_for_training — kept as the
+    parity reference for the Catalyst kernel (tested equal) and as the
+    template for chunkers whose logic genuinely can't be expressed
+    relationally (e.g. sentence-boundary-aware splitting)."""
     stride = stride or seq_len
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, chunk_id int, {tokens_col} array<int>, n_tok int"
@@ -138,19 +172,46 @@ def pack_sequences(
     overflow. Exact greedy first-fit-in-order is not a prefix-sum (pack
     boundaries depend on earlier breaks), so the engine uses the standard
     scalable approximation ``pack_id = floor((cumsum - n_tok) / budget)``:
-    packs can exceed budget by at most one document's tokens, boundaries are
-    identical across engines, and the whole thing is one window over one
-    range shuffle. Documents longer than the budget should be chunked first
-    (chunk_for_training).
+    packs can exceed budget by at most one document's tokens and boundaries
+    are identical across engines. Documents longer than the budget should be
+    chunked first (chunk_for_training).
+
+    The global cumsum is a TWO-PHASE distributed prefix sum, never a
+    single-partition window: range-partition by id, local per-partition
+    cumsum, then add each partition's prefix offset (a window over the
+    ≤num_partitions per-partition totals — metadata, not data — broadcast
+    back). Every data-bearing step is partition-parallel; at 10^9 docs the
+    old ``Window.orderBy(id)`` formulation would serialize the whole corpus
+    through one task (guarded by a plan assertion in tests/test_plans.py).
 
     Output: (pack_id, n_docs, total_tokens, doc_ids).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sized = df.select(F.col(id_col), F.size(tokens_col).alias("_n"))
-    packed = sized.withColumn("_cum", F.sum("_n").over(w)).withColumn(
-        "pack_id", F.floor((F.col("_cum") - F.col("_n")) / budget).cast("int")
+    spark = df.sparkSession
+    num_partitions = max(2, spark.sparkContext.defaultParallelism)
+    # narrow (id, n_tok) projection; persisted because both the local-cumsum
+    # pass and the per-partition totals read it (12B/row — ContextCleaner
+    # unpersists when the plan is released)
+    sized = (
+        df.select(F.col(id_col), F.size(tokens_col).alias("_n"))
+        .repartitionByRange(num_partitions, id_col)
+        .withColumn("_part", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("_part").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = sized.withColumn("_lcum", F.sum("_n").over(w_local))
+    totals = sized.groupBy("_part").agg(F.sum("_n").alias("_tot"))
+    w_off = Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_part", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    packed = (
+        local.join(F.broadcast(offsets), "_part")
+        .withColumn("_cum", F.col("_lcum") + F.col("_off"))
+        .withColumn("pack_id", F.floor((F.col("_cum") - F.col("_n")) / budget).cast("int"))
     )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -55,6 +55,7 @@ def connected_components(
         eager=True
     )
 
+    changed = 0
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels, on=F.col("src") == F.col("id"))
@@ -74,6 +75,15 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        # partially-converged labels would silently split clusters (and
+        # dedup_representatives would keep bogus extra representatives) —
+        # refuse to return them as if they were component labels
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds={max_rounds} "
+            f"({changed} labels still changing); the graph diameter exceeds the "
+            "round budget — raise max_rounds or switch to large-star/small-star"
+        )
     return labels
 
 

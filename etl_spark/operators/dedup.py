@@ -83,12 +83,34 @@ def lww_dedup_fetch(df: DataFrame, key: str = "doc_id", seq_bits: int = 20) -> D
     winner event are collapsed by a final per-key max_by over the (tiny)
     fetched set.
 
-    Requires op_seq < 2^seq_bits and commit_lsn < 2^(63-seq_bits) (asserted
-    cheaply via the packing being order-preserving for valid inputs).
+    Requires 0 <= op_seq < 2^seq_bits and 0 <= commit_lsn < 2^(63-seq_bits);
+    the precondition is CHECKED at runtime (a violating row would silently
+    pack an overlapping/overflowing ord and pick a wrong winner): the packing
+    expression folds in an ``assert_true`` guard — a codegen'd per-row
+    compare, no extra job — that fails the stage on the first bad row.
     Same result as lww_dedup — tested for equivalence.
     """
     payload = _payload_cols(df, key)
-    ord_col = (F.col("commit_lsn") * (1 << seq_bits) + F.col("op_seq")).alias("_ord")
+    valid = (
+        (F.col("op_seq") >= 0)
+        & (F.col("op_seq") < (1 << seq_bits))
+        & (F.col("commit_lsn") >= 0)
+        & (F.col("commit_lsn") < (1 << (63 - seq_bits)))
+    )
+    # assert_true returns NULL when the predicate holds; adding the
+    # coalesced 0 keeps the guard inside the ord expression so Catalyst
+    # cannot prune it away
+    guard = F.coalesce(
+        F.assert_true(
+            valid,
+            F.format_string(
+                f"lww_dedup_fetch precondition violated (seq_bits={seq_bits}): "
+                "commit_lsn=%s op_seq=%s", F.col("commit_lsn"), F.col("op_seq"),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    ord_col = (F.col("commit_lsn") * (1 << seq_bits) + F.col("op_seq") + guard).alias("_ord")
     winners = (
         df.select(F.col(key), ord_col)
         .groupBy(key)

@@ -167,13 +167,17 @@ def minhash_lsh_pairs(
         .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify restricted to candidate pairs
+    # exact-Jaccard verify restricted to candidate pairs. The second shingle
+    # join keys on (id_b, shingle) so the join ITSELF computes the set
+    # intersection — linear in shared shingles per pair. (Joining on id_b
+    # alone and post-filtering shingle equality would materialize the
+    # |sh_a| x |sh_b| cross product per candidate pair: two 5k-shingle docs
+    # -> 25M intermediate rows for one pair.)
     sh = doc_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh.select(F.col("sid").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("sid").alias("id_b"), F.col("shingle").alias("shingle_b")), "id_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
+        .join(sh.select(F.col("sid").alias("id_b"), "shingle"), on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

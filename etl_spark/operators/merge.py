@@ -24,11 +24,16 @@ SURVEY.md §4.2):
    Winning deletes become persisted tombstone rows (see table.py docstring on
    why tombstones must be kept for cross-batch ordering).
 4. **Apply** — ``repartitionByRange(n, doc_id)`` + ``sortWithinPartitions``
-   -> Parquet; per-file footer stats feed the next merge's planning.
+   -> Parquet; per-file stats (collected by a distributed column-pruned scan
+   of the written files) feed the next merge's planning.
 5. **Commit** — single atomic snapshot swap carrying fence records
    ``(checkpoint_epoch, partition_id)`` and per-partition lineage (lsn ranges,
    rows upserted/deleted). A replayed epoch is detected via the fence ledger
-   and no-ops (forced double-apply test).
+   and no-ops (forced double-apply test). The whole attempt is pinned to the
+   snapshot it planned against (``expect_parent``); if a concurrent writer
+   advanced HEAD in between, the commit refuses and the merge REPLANS against
+   the new head and retries — the optimistic-concurrency loop every real lake
+   writer (Iceberg/Delta) runs.
 
 AQE's skew-join handling covers hot-key skew in the resolve join; the dedup
 stage is skew-proof by construction (partial aggregation / salted two-phase,
@@ -38,14 +43,17 @@ see operators/dedup.py).
 from __future__ import annotations
 
 import os
+import shutil
+import urllib.parse
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import StructType
 
 from etl_spark.operators.dedup import lww_dedup, lww_dedup_salted
 from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, relax_nullability
-from etl_spark.table.table import HIDDEN_DELETED, LakeTable, file_stats
+from etl_spark.table.table import HIDDEN_DELETED, LakeTable, TableCommitError
 
 
 @dataclass
@@ -58,10 +66,9 @@ class MergeResult:
     files_added: int
 
 
-def _normalize_changes(table: LakeTable, changes: DataFrame) -> DataFrame:
+def _normalize_changes(schema: StructType, changes: DataFrame) -> DataFrame:
     """Project the (possibly older/newer-schema) batch onto the table's
     current schema: missing columns -> null, types cast (covers widen)."""
-    schema = table.schema()
     cols = [F.col("doc_id"), F.col("commit_lsn"), F.col("op_seq"), F.col("op")]
     for f in schema.fields:
         if f.name == "doc_id":
@@ -82,28 +89,64 @@ def merge_batch(
     use_salted_dedup: bool = False,
     resolve_strategy: str = "auto",
     max_broadcast_rows: int = 100_000,
+    max_commit_retries: int = 3,
 ) -> MergeResult:
     """Apply one change batch exactly-once. Returns a no-op result if the
-    epoch is already fenced (idempotent replay).
+    epoch is already fenced (idempotent replay); on a concurrent-writer
+    commit conflict the attempt is discarded and the merge replans against
+    the new head (up to ``max_commit_retries`` times).
 
     ``resolve_strategy``: 'auto' (broadcast the deduped batch into the
     resolve join when it has <= max_broadcast_rows rows, else sort-merge
     full-outer), 'broadcast', or 'smj'."""
-    spark = table.spark
-    if table.is_fenced(epoch):
-        return MergeResult(table.head_id(), False, 0, 0, 0, 0)
+    last_err: TableCommitError | None = None
+    for _attempt in range(max_commit_retries + 1):
+        # re-check the fence each attempt: the conflicting writer may have
+        # been a replay of THIS epoch
+        if table.is_fenced(epoch):
+            return MergeResult(table.head_id(), False, 0, 0, 0, 0)
+        try:
+            return _merge_attempt(
+                table,
+                changes,
+                epoch,
+                lineage_partitions,
+                target_rows_per_file,
+                use_salted_dedup,
+                resolve_strategy,
+                max_broadcast_rows,
+            )
+        except TableCommitError as e:
+            last_err = e
+    raise last_err
 
-    schema = table.schema()
+
+def _merge_attempt(
+    table: LakeTable,
+    changes: DataFrame,
+    epoch: int,
+    lineage_partitions: int,
+    target_rows_per_file: int,
+    use_salted_dedup: bool,
+    resolve_strategy: str,
+    max_broadcast_rows: int,
+) -> MergeResult:
+    spark = table.spark
+    # pin the whole attempt to one snapshot: plan, resolve, and commit all
+    # see the same table state; commit(expect_parent=...) enforces it
+    snap = table.snapshot()
+    head0 = snap["snapshot_id"]
+    schema = StructType.fromJson(snap["schema"])
     payload_names = [f.name for f in schema.fields if f.name != "doc_id"]
 
-    changes = _normalize_changes(table, changes)
+    changes = _normalize_changes(schema, changes)
     dedup = lww_dedup_salted(changes) if use_salted_dedup else lww_dedup(changes)
     # dedup feeds both the file-touch planning and the resolve join; persist
     # so the feed scan + dedup shuffle run once per batch, not twice
     dedup = dedup.persist()
 
     # ---- plan: which files does this batch touch?
-    files = table.files()
+    files = snap["files"]
     plannable = [f for f in files if f["min_key"] is not None]
     unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
     touched_paths: set[str] = {f["path"] for f in unplannable}
@@ -135,19 +178,10 @@ def merge_batch(
 
     # ---- resolve LWW against the touched slice of the table
     if touched_paths:
-        target = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*sorted(touched_paths))
-        )
-        # reconcile to current schema (older files may lack evolved columns)
-        proj = [F.col("doc_id")]
-        for name in payload_names:
-            f = schema[name]
-            proj.append(
-                (F.col(name) if name in target.columns else F.lit(None)).cast(relax_nullability(f.dataType)).alias(name)
-            )
-        proj += [F.col(HIDDEN_LSN), F.col(HIDDEN_SEQ), F.col(HIDDEN_DELETED)]
-        target = target.select(*proj)
+        # rename-aware field-id read (table.load_files): touched files may
+        # predate a column rename/add/widen; includes tombstone rows
+        touched_entries = [f for f in files if f["path"] in touched_paths]
+        target = table.load_files(touched_entries, snap)
     else:
         target = None
 
@@ -236,6 +270,7 @@ def merge_batch(
         resolved = _changes_only_rows(dedup)
 
     resolved = resolved.persist()
+    stage: str | None = None
     try:
         # ---- lineage metrics ride the apply pass itself (CollectMetrics /
         # Observation): no separate aggregation job scans the resolved
@@ -256,20 +291,22 @@ def merge_batch(
                     F.when(inp & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
                 ).alias(f"del_{p}"),
             ]
-        obs = Observation(f"merge-epoch-{epoch}")
+        obs = Observation(f"merge-epoch-{epoch}-{head0}")
 
         # ---- apply: range-partition on the merge key, write, collect stats
-        sid_next = table.head_id() + 1
+        sid_next = head0 + 1
         stage = table.stage_dir(sid_next)
         # file count: ~target_rows_per_file rows each, floored at cluster
         # parallelism so the apply write always uses every core — a single
         # write partition is a serial fraction that caps scaling (Amdahl);
         # compaction (table/maintenance.py) re-packs small files later.
-        # Sized from an upper-bound estimate (previous rows + batch keys) so
-        # no extra count job runs before the write.
+        # Sized from what this write actually contains — the touched slice
+        # plus the batch (n_changes, already measured by the planning
+        # Observation) — NOT the whole table's row count, so microbatches
+        # against a big table don't fragment into table_rows/target files.
+        touched_rows = sum(f["rows"] for f in files if f["path"] in touched_paths)
+        est_rows = touched_rows + (n_changes if n_changes is not None else target_rows_per_file // 10)
         par = spark.sparkContext.defaultParallelism
-        prev_rows = sum(f["rows"] for f in files)
-        est_rows = prev_rows + max(0, target_rows_per_file // 10)
         n_files = max(par, (est_rows // target_rows_per_file) + 1)
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         metric_cols = ["_applied", "_is_delete", "_existed", "_was_live", "_chg_lsn"]
@@ -303,24 +340,74 @@ def merge_batch(
                 }
             )
         fences = [
-            {"checkpoint_epoch": epoch, "partition_id": r["partition_id"], "committed_at_snapshot": table.head_id() + 1}
+            {"checkpoint_epoch": epoch, "partition_id": r["partition_id"], "committed_at_snapshot": sid_next}
             for r in lineage
-        ] or [{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": table.head_id() + 1}]
+        ] or [{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": sid_next}]
         rows_upserted = sum(r["rows_upserted"] for r in lineage)
         rows_deleted = sum(r["rows_deleted"] for r in lineage)
-        add_files = [
-            file_stats(os.path.join(stage, fn))
-            for fn in sorted(os.listdir(stage))
-            if fn.endswith(".parquet")
-        ]
-        new_sid = table.commit(
-            add_files=add_files,
-            remove_paths=touched_paths,
-            fences=fences,
-            lineage=lineage,
-            summary={"rows_upserted": rows_upserted, "rows_deleted": rows_deleted, "epoch": epoch},
-        )
+        add_files = _collect_file_stats(table, stage, snap["schema_version"])
+        try:
+            new_sid = table.commit(
+                add_files=add_files,
+                remove_paths=touched_paths,
+                fences=fences,
+                lineage=lineage,
+                summary={"rows_upserted": rows_upserted, "rows_deleted": rows_deleted, "epoch": epoch},
+                expect_parent=head0,
+            )
+        except TableCommitError:
+            # another writer advanced HEAD after we planned: this attempt's
+            # files are orphaned — drop them and let merge_batch replan
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         return MergeResult(new_sid, True, rows_upserted, rows_deleted, len(touched_paths), len(add_files))
     finally:
         resolved.unpersist()
         dedup.unpersist()
+
+
+def _collect_file_stats(table: LakeTable, stage: str, schema_version: int) -> list[dict]:
+    """Per-file (rows, min/max doc_id) for every file the apply wrote — the
+    manifest entries that drive the next merge's copy-on-write pruning.
+
+    Collected with ONE distributed column-pruned Spark scan of the written
+    files (grouped by ``input_file_name``) instead of a driver-side loop over
+    parquet footers — at cluster scale the driver loop is a per-epoch serial
+    fraction that caps replay scaling (round-1 post-mortem); on a real
+    deployment these stats ship back from the write tasks themselves
+    (Iceberg's write-result manifest), for which this scan is the
+    API-compatible stand-in. Files are tagged with the schema_version they
+    were written under so rename-aware reads can resolve their column names
+    by field id."""
+    rows = (
+        table.spark.read.parquet(stage)
+        .groupBy(F.input_file_name().alias("uri"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+        )
+        .collect()
+    )
+    add_files = []
+    for r in rows:
+        path = urllib.parse.unquote(urllib.parse.urlparse(r["uri"]).path)
+        add_files.append(
+            {
+                "path": path,
+                "rows": r["rows"],
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+                "schema_version": schema_version,
+            }
+        )
+    add_files.sort(key=lambda d: d["path"])
+    # a partition that received no rows writes no file; any zero-row parquet
+    # Spark still creates (the all-empty-write case) is untracked — remove it
+    # so the staging dir never accumulates orphans
+    tracked = {f["path"] for f in add_files}
+    for fn in os.listdir(stage):
+        full = os.path.abspath(os.path.join(stage, fn))
+        if fn.endswith(".parquet") and full not in tracked:
+            os.remove(full)
+    return add_files

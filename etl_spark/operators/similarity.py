@@ -95,12 +95,15 @@ def brute_force_topk(
 N_PLANES = 8
 
 
-def hyperplane_bucket(v: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: bit p = sign(<v, plane_p>) with the
-    fixed integer plane formula — deterministic, SQL-reproducible."""
+def hyperplane_bucket(v: Column, n_planes: int = N_PLANES, dim: int = 64, plane_offset: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(<v, plane_{p+offset}>)
+    with the fixed integer plane formula — deterministic, SQL-reproducible.
+    ``plane_offset`` selects a disjoint plane family per LSH table
+    (OR-amplification, lsh_topk_multi)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        coefs = F.array(*[F.lit(((p * 131 + d * 31) % 17) - 8) for d in range(dim)])
+        q = p + plane_offset
+        coefs = F.array(*[F.lit(((q * 131 + d * 31) % 17) - 8) for d in range(dim)])
         proj = F.aggregate(F.zip_with(v, coefs, lambda x, c: x * c), F.lit(0).cast("long"), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket.cast("int")
@@ -127,6 +130,62 @@ def lsh_topk(
     b = prepped.alias("b")
     pairs = (
         a.join(b, on="bucket")
+        .where(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            cosine_micro(F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")).alias("cos_micro"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_micro")
+    )
+
+
+def lsh_topk_multi(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table hyperplane LSH top-k (OR-amplification): ``n_tables``
+    independent plane families each bucket the vectors; a pair is a candidate
+    if it collides in ANY table — recall improves ~(1 - (1-p)^T) per pair
+    while every join stays keyed on (table, bucket), never all-pairs.
+
+    Implemented as ONE join: the prepped vectors are unioned across tables
+    with a ``tbl`` discriminator (a T-way row replication — narrow, no
+    shuffle), the self-join keys on (tbl, bucket), and cross-table duplicate
+    candidates collapse in the pre-top-k ``distinct``. Output shape =
+    lsh_topk; recall >= the single-table path by construction (its candidate
+    set is table 0's)."""
+    from pyspark.sql import Window
+
+    prepped = _prepped(embeddings, id_col, vec_col)
+    tables = [
+        prepped.select(
+            "vid",
+            "v",
+            "n2",
+            F.lit(t).alias("tbl"),
+            hyperplane_bucket(F.col("v"), n_planes, dim, plane_offset=t * n_planes).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    banded = tables[0]
+    for tdf in tables[1:]:
+        banded = banded.unionByName(tdf)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["tbl", "bucket"])
         .where(F.col("a.vid") != F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_id"),

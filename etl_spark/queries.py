@@ -51,6 +51,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _arr_md5(col):
+    """Cross-engine digest of an array column: md5 of comma-joined elements.
+
+    Driver-facing queries must never emit raw array columns (the harness's
+    pandas canonicalizer cannot hash lists — the repo convention at the top
+    of this module); the DuckDB twin is
+    ``md5(coalesce(array_to_string(xs, ','), ''))`` (DuckDB's
+    array_to_string returns NULL for empty lists where Spark returns '').
+    Raw-array variants of these operators remain pytest-covered."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.array_join(c.cast("array<string>"), ","))
+
+
 # =====================================================================
 # CDC core: the events table replayed as a change feed.
 #   doc_id = 'u'||user_id, commit_lsn = event_id (monotone), op_seq = 0,
@@ -293,6 +306,48 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_schema_rename",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY commit_lsn DESC, op_seq DESC) AS rn
+          FROM feed)
+    SELECT doc_id, value_cents AS amount_cents, source FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_schema_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename mid-replay (reference P5,
+    ``src/common/util/FeatureTypeExtensions.scala:10-29`` — there an eager
+    schema rebuild; here Iceberg-style metadata-only by stable field id):
+    epoch 0 applies under ``value_cents``; the column is renamed to
+    ``amount_cents`` with NO data rewrite; epoch 1 applies under the new
+    name. The final read must present epoch-0 files (written with the old
+    name) under the new name with data intact — the single-shot LWW fold of
+    the whole feed, aliased."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_rename_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut = hi // 2
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut), epoch=0)
+    table.rename_column("value_cents", "amount_cents")
+    merge_batch(
+        table,
+        feed.where(F.col("commit_lsn") > cut).withColumnRenamed("value_cents", "amount_cents"),
+        epoch=1,
+    )
+    return table.read().select("doc_id", "amount_cents", "source")
+
+
+@register(
     "cdc_time_travel",
     f"""
     WITH feed AS ({_FEED_SQL}),
@@ -481,25 +536,30 @@ def q_tok_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tok_vocab_encode",
     f"""
     WITH {_ENCODE_SQL}
-    SELECT doc_id, tokens, CAST(len(tokens) AS INTEGER) AS n_tok FROM enc
+    SELECT doc_id, md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+           CAST(len(tokens) AS INTEGER) AS n_tok
+    FROM enc
     """,
 )
 def q_tok_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic vocab tokenizer: text -> array<int32> token ids."""
+    """Deterministic vocab tokenizer: text -> array<int32> token ids
+    (driver-facing output carries the md5 digest of the array)."""
     from etl_spark.functions.tokens import recount
 
     enc = _encode(spark, sf_dir)
-    return enc.select("doc_id", "tokens", recount("tokens").alias("n_tok"))
+    return enc.select(
+        "doc_id", _arr_md5("tokens").alias("tokens_md5"), recount("tokens").alias("n_tok")
+    )
 
 
 @register(
     "tok_truncate_eos",
     f"""
-    WITH {_ENCODE_SQL}
-    SELECT doc_id,
-           tokens[1:16] || [CAST(-1 AS INTEGER)] AS tokens,
-           CAST(len(tokens[1:16]) + 1 AS INTEGER) AS n_tok
-    FROM enc
+    WITH {_ENCODE_SQL},
+    t AS (SELECT doc_id, tokens[1:16] || [CAST(-1 AS INTEGER)] AS tokens FROM enc)
+    SELECT doc_id, md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+           CAST(len(tokens) AS INTEGER) AS n_tok
+    FROM t
     """,
 )
 def q_tok_truncate_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,7 +568,9 @@ def q_tok_truncate_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc = _encode(spark, sf_dir)
     out = enc.select("doc_id", append_eos("tokens", eos_id=-1, max_len=17).alias("tokens"))
-    return out.select("doc_id", "tokens", recount("tokens").alias("n_tok"))
+    return out.select(
+        "doc_id", _arr_md5("tokens").alias("tokens_md5"), recount("tokens").alias("n_tok")
+    )
 
 
 @register(
@@ -536,21 +598,25 @@ def q_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tok_chunk",
     f"""
-    WITH {_ENCODE_SQL}
-    SELECT doc_id,
-           CAST(i AS INTEGER) AS chunk_id,
-           tokens[CAST(i*32+1 AS INTEGER):CAST((i+1)*32 AS INTEGER)] AS tokens,
-           CAST(len(tokens[CAST(i*32+1 AS INTEGER):CAST((i+1)*32 AS INTEGER)]) AS INTEGER) AS n_tok
-    FROM enc, LATERAL (SELECT unnest(range((len(tokens) + 31) // 32)) AS i)
+    WITH {_ENCODE_SQL},
+    c AS (SELECT doc_id,
+                 CAST(i AS INTEGER) AS chunk_id,
+                 tokens[CAST(i*32+1 AS INTEGER):CAST((i+1)*32 AS INTEGER)] AS tokens
+          FROM enc, LATERAL (SELECT unnest(range((len(tokens) + 31) // 32)) AS i))
+    SELECT doc_id, chunk_id,
+           md5(coalesce(array_to_string(tokens, ','), '')) AS tokens_md5,
+           CAST(len(tokens) AS INTEGER) AS n_tok
+    FROM c
     """,
 )
 def q_tok_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-length training-window chunking via the Arrow mapInPandas kernel
-    (functions/tokens.py chunk_for_training)."""
+    """Fixed-length training-window chunking (functions/tokens.py
+    chunk_for_training — pure-Catalyst explode+slice, JVM-side)."""
     from etl_spark.functions.tokens import chunk_for_training
 
     enc = _encode(spark, sf_dir)
-    return chunk_for_training(enc, seq_len=32, stride=32)
+    out = chunk_for_training(enc, seq_len=32, stride=32)
+    return out.select("doc_id", "chunk_id", _arr_md5("tokens").alias("tokens_md5"), "n_tok")
 
 
 @register(
@@ -563,17 +629,20 @@ def q_tok_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS UNBOUNDED PRECEDING) - n) / 256.0) AS INTEGER) AS pack_id
                FROM sized)
     SELECT pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
-           list(doc_id ORDER BY doc_id) AS doc_ids
+           md5(coalesce(array_to_string(list(doc_id ORDER BY doc_id), ','), '')) AS doc_ids_md5
     FROM packed GROUP BY pack_id
     """,
 )
 def q_tok_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing into 256-token training packs
-    (functions/tokens.pack_sequences — window cumsum, one range shuffle)."""
+    (functions/tokens.pack_sequences — two-phase distributed cumsum)."""
     from etl_spark.functions.tokens import pack_sequences
 
     enc = _encode(spark, sf_dir)
-    return pack_sequences(enc, budget=256)
+    out = pack_sequences(enc, budget=256)
+    return out.select(
+        "pack_id", "n_docs", "total_tokens", _arr_md5("doc_ids").alias("doc_ids_md5")
+    )
 
 
 # =====================================================================
@@ -671,20 +740,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 word frequencies: explode -> partial-agg count -> global top-k
-    (the classic two-stage count with a final single-reducer limit)."""
+    """Top-20 word frequencies: explode -> partial-agg count -> orderBy+limit
+    (TakeOrderedAndProject: per-partition top-k then a merge of 20-row heaps
+    — the full vocabulary never passes through one reducer). Rank is derived
+    from the 20 survivors only."""
     docs = _t(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(T.tokenize_ws("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = freq.orderBy(F.desc("freq"), F.asc("word")).limit(20)
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return (
-        freq.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= 20)
-        .select("word", "freq", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select("word", "freq", "rank")
 
 
 @register(
@@ -710,7 +778,7 @@ def q_text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc AS (SELECT doc_id, list(tid ORDER BY pos) AS tokens
             FROM words JOIN vocab USING (w) GROUP BY doc_id)
     SELECT doc_id,
-           tokens[1:128] AS tokens,
+           md5(coalesce(array_to_string(tokens[1:128], ','), '')) AS tokens_md5,
            CAST(len(tokens[1:128]) AS INTEGER) AS n_tok
     FROM enc
     """,
@@ -743,7 +811,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.transform("pt", lambda x: x["tid"]).alias("tokens"))
     )
     out = enc.select("doc_id", truncate_tokens("tokens", 128).alias("tokens"))
-    return out.select("doc_id", "tokens", F.size("tokens").cast("int").alias("n_tok"))
+    return out.select(
+        "doc_id", _arr_md5("tokens").alias("tokens_md5"), F.size("tokens").cast("int").alias("n_tok")
+    )
 
 
 @register(
@@ -1005,12 +1075,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
-def _lsh_bucket_sql(planes: int = SIM.N_PLANES) -> str:
+def _lsh_bucket_sql(planes: int = SIM.N_PLANES, plane_offset: int = 0) -> str:
     terms = []
     for p in range(planes):
+        q = p + plane_offset
         proj = (
             f"CAST(list_sum(list_transform(range(0, 64), "
-            f"d -> v[CAST(d + 1 AS INTEGER)] * ((({p} * 131 + d * 31) % 17) - 8))) AS BIGINT)"
+            f"d -> v[CAST(d + 1 AS INTEGER)] * ((({q} * 131 + d * 31) % 17) - 8))) AS BIGINT)"
         )
         terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
@@ -1034,6 +1105,36 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+_LSH_MULTI_TABLES = 3
+
+
+def _lsh_multi_bucketed_sql(n_tables: int = _LSH_MULTI_TABLES) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vid, v, n2, {t} AS tbl, {_lsh_bucket_sql(plane_offset=t * SIM.N_PLANES)} AS bucket FROM pn"
+        for t in range(n_tables)
+    )
+
+
+@register(
+    "ann_lsh_multi_topk",
+    f"""
+    WITH {_EMB_PREP_SQL},
+    bucketed AS ({_lsh_multi_bucketed_sql()}),
+    pairs AS (SELECT DISTINCT a.vid AS vec_id, b.vid AS neighbor_id, {_COS_SQL} AS cos_micro
+              FROM bucketed a JOIN bucketed b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vid <> b.vid),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos_micro DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM pairs)
+    SELECT vec_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (T=3) hyperplane-LSH approximate top-3: OR-amplified
+    recall at the same bucket-join shape (operators/similarity.lsh_topk_multi
+    — candidates from ANY table's collision, never all-pairs)."""
+    return SIM.lsh_topk_multi(_t(spark, sf_dir, "embeddings"), k=3, n_tables=_LSH_MULTI_TABLES)
+
+
 # =====================================================================
 # Relational coverage (TPC-H-style): scan/filter/join/agg/window/sort/limit
 # =====================================================================
@@ -1043,13 +1144,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                * (100 - CAST(round(l_discount * 100) AS BIGINT))
-               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
+               * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1082,8 +1183,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_orderkey,
            CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -1120,8 +1221,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region_revenue",
     """
     SELECT n.n_name,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN supplier s ON s.s_nationkey = n.n_nationkey
                   JOIN lineitem l ON l.l_suppkey = s.s_suppkey
@@ -1191,9 +1292,9 @@ def q_win_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS UNBOUNDED PRECEDING) AS running_cents
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM orders
     """,
 )
@@ -1223,10 +1324,10 @@ def q_win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
                FROM events GROUP BY user_id)
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_click,
-           sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS n_full_funnel
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM u
     """,
 )
@@ -1261,8 +1362,8 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_top_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
@@ -1300,7 +1401,9 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM prep)
     SELECT vec_id,
            scale_micro,
-           list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale_micro AS DOUBLE)) AS INTEGER)) AS q
+           md5(coalesce(array_to_string(
+               list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) * 127 / CAST(scale_micro AS DOUBLE)) AS INTEGER)),
+               ','), '')) AS q_md5
     FROM s WHERE scale_micro > 0
     """,
 )
@@ -1314,13 +1417,12 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepped = emb.select("vec_id", v.alias("v")).withColumn(
         "scale_micro", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))).cast("long")
     )
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.round(x.cast("double") * 127 / F.col("scale_micro").cast("double")).cast("int"),
+    )
     return prepped.where(F.col("scale_micro") > 0).select(
-        "vec_id",
-        "scale_micro",
-        F.transform(
-            F.col("v"),
-            lambda x: F.round(x.cast("double") * 127 / F.col("scale_micro").cast("double")).cast("int"),
-        ).alias("q"),
+        "vec_id", "scale_micro", _arr_md5(q).alias("q_md5")
     )
 
 
@@ -1330,7 +1432,7 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )

@@ -43,21 +43,29 @@ def _rewrite(table: LakeTable, df, remove_paths: set[str], target_rows_per_file:
         .write.mode("overwrite")
         .parquet(stage)
     )
-    add_files = [
-        file_stats(os.path.join(stage, fn)) for fn in sorted(os.listdir(stage)) if fn.endswith(".parquet")
-    ]
+    schema_version = table.snapshot()["schema_version"]
+    add_files = []
+    for fn in sorted(os.listdir(stage)):
+        if fn.endswith(".parquet"):
+            st = file_stats(os.path.join(stage, fn))
+            st["schema_version"] = schema_version
+            add_files.append(st)
     return table.commit(add_files=add_files, remove_paths=remove_paths, summary=summary)
 
 
 def compact(table: LakeTable, small_file_rows: int = 100_000, target_rows_per_file: int = 1_000_000) -> int | None:
     """Bin-pack files smaller than ``small_file_rows`` into full-size,
     range-partitioned files. Returns the new snapshot id, or None if fewer
-    than two small files exist (nothing to gain)."""
-    small = [f for f in table.files() if f["rows"] < small_file_rows]
+    than two small files exist (nothing to gain). Reads through the
+    rename-aware loader so files written under pre-rename schema versions
+    are rewritten under the CURRENT column names (a raw mergeSchema read
+    would union old and new names into two columns)."""
+    snap = table.snapshot()
+    small = [f for f in snap["files"] if f["rows"] < small_file_rows]
     if len(small) < 2:
         return None
     paths = {f["path"] for f in small}
-    df = table.spark.read.option("mergeSchema", "true").parquet(*sorted(paths))
+    df = table.load_files(small, snap)
     return _rewrite(
         table,
         df,
@@ -123,14 +131,12 @@ def expire_tombstones(table: LakeTable, low_watermark_lsn: int, target_rows_per_
     touched = {p for p in paths if p in touched or f"file://{p}" in {r["_file"] for r in flagged}}
     if not touched:
         return None
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*sorted(touched))
-        .where(
-            ~(
-                F.coalesce(F.col(HIDDEN_DELETED), F.lit(False))
-                & (F.col(HIDDEN_LSN) <= low_watermark_lsn)
-            )
+    snap = table.snapshot()
+    touched_entries = [f for f in snap["files"] if f["path"] in touched]
+    df = table.load_files(touched_entries, snap).where(
+        ~(
+            F.coalesce(F.col(HIDDEN_DELETED), F.lit(False))
+            & (F.col(HIDDEN_LSN) <= low_watermark_lsn)
         )
     )
     return _rewrite(

@@ -107,9 +107,18 @@ def file_stats(path: str, key: str = "doc_id") -> dict[str, Any]:
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        self.meta_dir = os.path.join(root, "metadata")
-        self.data_dir = os.path.join(root, "data")
+        # canonical absolute root: file paths in commit records must compare
+        # equal regardless of the caller's cwd (stats collection derives
+        # paths from Spark file URIs, which are always absolute)
+        self.root = os.path.abspath(root)
+        self.meta_dir = os.path.join(self.root, "metadata")
+        self.data_dir = os.path.join(self.root, "data")
+        # committed snapshot records are immutable, so parsed JSON is cached
+        # per sid for the lifetime of the handle — without this, every
+        # fences()/lineage() call re-parses EVERY commit file, an O(epochs^2)
+        # driver-side serial fraction across a long replay (round-1 scaling
+        # post-mortem)
+        self._snap_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -127,6 +136,10 @@ class LakeTable:
             "parent_id": None,
             "schema_version": 0,
             "schema": json.loads(schema.json()),
+            # stable field ids (the Iceberg column-identity mechanism):
+            # renames change a field's NAME, never its id, so files written
+            # under the old name remain readable by id
+            "field_ids": {f.name: i for i, f in enumerate(schema.fields)},
             "files": [],
             "fences": [],
             "lineage": [],
@@ -150,11 +163,34 @@ class LakeTable:
 
     def snapshot(self, sid: int | None = None) -> dict:
         sid = self.head_id() if sid is None else sid
+        cached = self._snap_cache.get(sid)
+        if cached is not None:
+            return cached
         with open(self._commit_path(sid)) as f:
-            return json.load(f)
+            snap = json.load(f)
+        self._snap_cache[sid] = snap
+        return snap
 
     def snapshots(self) -> list[dict]:
         return [self.snapshot(s) for s in range(self.head_id() + 1)]
+
+    def field_ids(self, sid: int | None = None) -> dict[str, int]:
+        """name -> stable field id at a snapshot (legacy commits without the
+        registry fall back to positional ids — valid because renames did not
+        exist before the registry did)."""
+        snap = self.snapshot(sid)
+        fids = snap.get("field_ids")
+        if fids is None:
+            fids = {f["name"]: i for i, f in enumerate(snap["schema"]["fields"])}
+        return fids
+
+    def _names_at_version(self, version: int) -> dict[int, str] | None:
+        """field id -> name under a given schema_version (what a file written
+        under that version calls its columns)."""
+        for s in self.snapshots():
+            if s["schema_version"] == version:
+                return {fid: name for name, fid in self.field_ids(s["snapshot_id"]).items()}
+        return None
 
     def schema(self, sid: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(sid)["schema"])
@@ -185,27 +221,10 @@ class LakeTable:
 
     # ---------------------------------------------------------------- reads
 
-    def read(
-        self,
-        sid: int | None = None,
-        include_hidden: bool = False,
-        include_deleted: bool = False,
-    ) -> DataFrame:
-        """Read the table state at a snapshot, reconciled to that snapshot's
-        schema (older files may lack added columns / carry narrower types —
-        mergeSchema unions them, then an explicit cast-projection pins the
-        versioned schema, the self-built analog of Iceberg field-ID reads)."""
-        snap = self.snapshot(sid)
-        schema = StructType.fromJson(snap["schema"])
-        paths = [f["path"] for f in snap["files"]]
-        if not paths:
-            fields = list(schema.fields)
-            df = self.spark.createDataFrame([], StructType(fields))
-            df = df.withColumn(HIDDEN_LSN, F.lit(None).cast("long"))
-            df = df.withColumn(HIDDEN_SEQ, F.lit(None).cast("int"))
-            df = df.withColumn(HIDDEN_DELETED, F.lit(None).cast("boolean"))
-        else:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+    def _project(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Pin a raw file read to the versioned schema + hidden columns:
+        missing (later-added) columns -> null, narrower written types cast up
+        (widen reconciliation)."""
         proj = []
         for f in schema.fields:
             if f.name in df.columns:
@@ -214,7 +233,55 @@ class LakeTable:
                 proj.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
         for h, t in ((HIDDEN_LSN, "long"), (HIDDEN_SEQ, "int"), (HIDDEN_DELETED, "boolean")):
             proj.append((F.col(h) if h in df.columns else F.lit(None)).cast(t).alias(h))
-        df = df.select(*proj)
+        return df.select(*proj)
+
+    def load_files(self, file_entries: list[dict], snap: dict) -> DataFrame:
+        """Read a set of file entries reconciled to ``snap``'s schema,
+        including hidden columns and tombstone rows (callers filter).
+
+        Rename-aware (the Iceberg field-ID read): files are grouped by the
+        ``schema_version`` they were written under; each group's write-time
+        column names are mapped to the snapshot's names through the stable
+        field ids, then all groups are projected to the versioned schema and
+        unioned. With no renames in the history every group's mapping is the
+        identity and this degenerates to one mergeSchema read."""
+        schema = StructType.fromJson(snap["schema"])
+        if not file_entries:
+            df = self.spark.createDataFrame([], StructType(list(schema.fields)))
+            df = df.withColumn(HIDDEN_LSN, F.lit(None).cast("long"))
+            df = df.withColumn(HIDDEN_SEQ, F.lit(None).cast("int"))
+            df = df.withColumn(HIDDEN_DELETED, F.lit(None).cast("boolean"))
+            return self._project(df, schema)
+        target_names = {fid: name for name, fid in self.field_ids(snap["snapshot_id"]).items()}
+        groups: dict[int | None, list[str]] = {}
+        for f in file_entries:
+            groups.setdefault(f.get("schema_version"), []).append(f["path"])
+        parts = []
+        for sv in sorted(groups, key=lambda v: (-1 if v is None else v)):
+            raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(groups[sv]))
+            writer_names = self._names_at_version(sv) if sv is not None else None
+            if writer_names:
+                for fid, old in writer_names.items():
+                    new = target_names.get(fid)
+                    if new is not None and new != old and old in raw.columns:
+                        raw = raw.withColumnRenamed(old, new)
+            parts.append(self._project(raw, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self,
+        sid: int | None = None,
+        include_hidden: bool = False,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read the table state at a snapshot, reconciled to that snapshot's
+        schema (older files may lack added columns / carry narrower types /
+        pre-rename names — reconciled by the field-ID loader)."""
+        snap = self.snapshot(sid)
+        df = self.load_files(snap["files"], snap)
         if not include_deleted:
             df = df.where(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
         if not include_hidden:
@@ -237,24 +304,14 @@ class LakeTable:
         keep = []
         for f in snap["files"]:
             if f["min_key"] is None:
-                keep.append(f["path"])  # no stats -> cannot prune
+                keep.append(f)  # no stats -> cannot prune
                 continue
             if (hi is not None and f["min_key"] > hi) or (lo is not None and f["max_key"] < lo):
                 continue
-            keep.append(f["path"])
+            keep.append(f)
         if not keep:
             return self.read(sid=sid, include_hidden=include_hidden).where(F.lit(False))
-        schema = StructType.fromJson(snap["schema"])
-        raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(keep))
-        proj = []
-        for fld in schema.fields:
-            if fld.name in raw.columns:
-                proj.append(F.col(fld.name).cast(relax_nullability(fld.dataType)).alias(fld.name))
-            else:
-                proj.append(F.lit(None).cast(relax_nullability(fld.dataType)).alias(fld.name))
-        for h, t in ((HIDDEN_LSN, "long"), (HIDDEN_SEQ, "int"), (HIDDEN_DELETED, "boolean")):
-            proj.append((F.col(h) if h in raw.columns else F.lit(None)).cast(t).alias(h))
-        out = raw.select(*proj).where(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        out = self.load_files(keep, snap).where(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
         if lo is not None:
             out = out.where(F.col("doc_id") >= lo)
         if hi is not None:
@@ -290,8 +347,14 @@ class LakeTable:
         live_b = F.col(f"b.{HIDDEN_LSN}").isNotNull() & ~F.coalesce(
             F.col(f"b.{HIDDEN_DELETED}"), F.lit(False)
         )
+        # dead->gone is NOT a state change: a key tombstoned in A whose
+        # tombstone row was physically expired before B (expire_tombstones)
+        # must not re-report 'D' — CDC consumers would see duplicate deletes.
+        # A key RE-deleted by a new event still reports (its B tombstone row
+        # exists, so b lsn is non-null).
+        expired = F.coalesce(F.col("a._del_a"), F.lit(False)) & F.col(f"b.{HIDDEN_LSN}").isNull()
         payload = [c for c in b.columns if not c.startswith("_") and c != "doc_id"]
-        return bj.where(changed).select(
+        return bj.where(changed & ~expired).select(
             F.col("doc_id"),
             F.when(live_b, F.lit("U")).otherwise(F.lit("D")).alias("change_op"),
             *[F.when(live_b, F.col(f"b.{c}")).otherwise(F.lit(None)).alias(c) for c in payload],
@@ -311,13 +374,16 @@ class LakeTable:
         fences: list[dict] | None = None,
         lineage: list[dict] | None = None,
         new_schema: StructType | None = None,
+        new_field_ids: dict[str, int] | None = None,
         summary: dict | None = None,
         expect_parent: int | None = None,
     ) -> int:
         """Atomic snapshot swap (reference K3 upgraded): new file list =
         (parent files - removed) + added; fences/lineage appended; optional
         schema change rides the same commit. ``expect_parent`` is the
-        optimistic-concurrency check."""
+        optimistic-concurrency check: a writer passes the head it planned
+        against and the commit REFUSES if another writer advanced it —
+        callers (merge_batch) re-plan against the new head and retry."""
         parent = self.head_id()
         if expect_parent is not None and parent != expect_parent:
             raise TableCommitError(f"concurrent commit: head={parent}, expected={expect_parent}")
@@ -330,6 +396,7 @@ class LakeTable:
             "parent_id": parent,
             "schema_version": psnap["schema_version"] + (1 if new_schema is not None else 0),
             "schema": json.loads(new_schema.json()) if new_schema is not None else psnap["schema"],
+            "field_ids": new_field_ids if new_field_ids is not None else self.field_ids(parent),
             "files": files,
             "fences": fences or [],
             "lineage": lineage or [],
@@ -337,9 +404,12 @@ class LakeTable:
         }
         path = self._commit_path(sid)
         if os.path.exists(path):
-            raise TableCommitError(f"commit {sid} already exists")
+            # another writer already claimed this snapshot id (the
+            # commit-file create is the CAS): surface as a retryable conflict
+            raise TableCommitError(f"concurrent commit: snapshot {sid} already exists")
         _atomic_write_json(path, commit)
         _atomic_write_text(os.path.join(self.meta_dir, "HEAD"), str(sid))
+        self._snap_cache[sid] = commit
         return sid
 
     # ----------------------------------------------------- schema evolution
@@ -348,30 +418,53 @@ class LakeTable:
         self,
         add_columns: list[tuple[str, str]] | None = None,
         widen: dict[str, str] | None = None,
+        renames: dict[str, str] | None = None,
     ) -> int:
         """Metadata-only evolution commit (Iceberg ``UpdateSchema`` analog):
-        add nullable columns and/or widen primitive types. No data rewrite —
-        old files are reconciled at read time."""
+        add nullable columns, widen primitive types, and/or rename columns.
+        Renames apply FIRST within the commit; ``add_columns``/``widen``
+        reference the post-rename names. No data rewrite ever — old files
+        are reconciled at read time (added columns read null, narrow types
+        cast up, renamed columns resolved through their stable field id).
+        Successor of the reference's schema-rebuilding rename
+        (``FeatureTypeExtensions.scala:10-29``, which rewrites the feature
+        type eagerly)."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         cur = self.schema()
+        fids = dict(self.field_ids())
         fields = {f.name: f for f in cur.fields}
+        order = [f.name for f in cur.fields]
+        for old, new in (renames or {}).items():
+            if old not in fields:
+                raise TableCommitError(f"unknown column {old}")
+            if new in fields or new in (n for n, _ in (add_columns or [])):
+                raise TableCommitError(f"rename target {new} already exists")
+            if old == "doc_id":
+                raise TableCommitError("cannot rename the merge key")
+            f = fields.pop(old)
+            fields[new] = StructField(new, f.dataType, nullable=f.nullable)
+            fids[new] = fids.pop(old)
+            order[order.index(old)] = new
         for name, dt in add_columns or []:
             if name in fields:
                 raise TableCommitError(f"column {name} already exists")
             fields[name] = StructField(name, _parse_datatype_string(dt), nullable=True)
+            fids[name] = max(fids.values(), default=-1) + 1
+            order.append(name)
         for name, dt in (widen or {}).items():
             if name not in fields:
                 raise TableCommitError(f"unknown column {name}")
-            old = fields[name].dataType.simpleString()
-            if not can_widen(old, dt):
-                raise TableCommitError(f"illegal widen {name}: {old} -> {dt}")
+            old_t = fields[name].dataType.simpleString()
+            if not can_widen(old_t, dt):
+                raise TableCommitError(f"illegal widen {name}: {old_t} -> {dt}")
             fields[name] = StructField(name, _parse_datatype_string(dt), nullable=fields[name].nullable)
-        order = [f.name for f in cur.fields] + [
-            n for n, _ in (add_columns or []) if n not in [f.name for f in cur.fields]
-        ]
         new_schema = StructType([fields[n] for n in order])
-        return self.commit(add_files=[], new_schema=new_schema)
+        return self.commit(add_files=[], new_schema=new_schema, new_field_ids=fids)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename by stable field id (reference P5)."""
+        return self.update_schema(renames={old: new})
 
     # ---------------------------------------------------------- maintenance
 

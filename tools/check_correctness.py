@@ -2,54 +2,73 @@
 
 Runs every ``queries()`` entry at sf0.01 on Spark and its ``oracle_sql()``
 twin on DuckDB (same parquet registered as views), then compares row count,
-sorted column names, and order-insensitive values. Exact value equality is
-required — the engine's outputs are engineered to be integer/string/array
-deterministic across engines.
+sorted column names, and order-insensitive values.
+
+Canonicalization mirrors the DRIVER's harness, which materializes both
+results through pandas and hash-compares the values (round-1 lesson:
+the builder's old checker coerced Decimal->int and tuple-ized lists, which
+masked 13 driver failures):
+
+- both sides are fetched as pandas DataFrames (Spark ``toPandas``, DuckDB
+  ``.df()``), so DuckDB's HUGEINT->float64 materialization is visible here
+  exactly as the driver sees it;
+- float vs int is a VALUE MISMATCH even when numerically equal (the driver
+  hashes the pandas values; ``3.77e13`` != ``37700000000000``);
+- a list/ndarray cell is an immediate failure (the driver's row sort dies on
+  ``TypeError: unhashable type: 'list'`` — driver-facing queries must emit
+  md5 digests of arrays instead).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(v):
-    """Canonicalize a value for cross-engine comparison."""
+class RawArrayError(TypeError):
+    pass
+
+
+def cell_key(v):
+    """Canonical, type-discriminating key for one cell (mirrors what the
+    driver's pandas-based value hash distinguishes)."""
     import datetime
     import decimal
 
-    if v is None:
-        return None
-    if isinstance(v, decimal.Decimal):
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        raise RawArrayError(
+            "raw array column in driver-facing output — the driver's pandas "
+            "canonicalizer cannot hash lists; emit an md5 digest instead"
+        )
+    if v is None or v is pd.NaT:
+        return ("null",)
+    if isinstance(v, (np.floating, float)):
         f = float(v)
-        return int(v) if f.is_integer() else f
-    if isinstance(v, float):
-        return int(v) if v.is_integer() and abs(v) < 2**53 else v
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
+        return ("null",) if f != f else ("float", repr(f))
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (np.integer, int)):
+        return ("int", int(v))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return ("ts", str(v))
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return v
+        return ("bytes", bytes(v).hex())
+    return ("str", str(v))
 
 
-def rows_to_multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = tuple(canon(r[i]) for i in order)
-        out.append(vals)
-    key = lambda t: tuple(
-        (x is None, str(type(x)), x if not isinstance(x, float) or not math.isnan(x) else "nan")
-        for x in t
-    )
-    return sorted(out, key=lambda t: str(key(t)))
+def df_to_multiset(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(cell_key(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return sorted(rows, key=str)
 
 
 def main() -> int:
@@ -76,39 +95,44 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(srows)} rows, no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ok?  {name}: rows-only ({len(spdf)} rows, no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
         if not problems:
-            sm = rows_to_multiset(srows, scols)
-            om = rows_to_multiset(orows, ocols)
-            if sm != om:
+            try:
+                sm = df_to_multiset(spdf)
+            except RawArrayError as e:
+                problems.append(f"spark side: {e}")
+                sm = None
+            try:
+                om = df_to_multiset(opdf)
+            except RawArrayError as e:
+                problems.append(f"oracle side: {e}")
+                om = None
+            if sm is not None and om is not None and sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
     return 1 if failures else 0
