@@ -89,12 +89,16 @@ def run_replay_bench(spark, n_events: int, n_keys: int, epochs: int) -> dict:
 QUERY_SUBSET = [
     "cdc_lww_dedup",
     "cdc_replay_merge",
+    "cdc_schema_rename",
     "tok_vocab_encode",
     "tok_chunk",
+    "tok_pack_sequences",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
+    "ann_lsh_multi_topk",
+    "text_word_topk",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "events_sessionize",

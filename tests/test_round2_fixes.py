@@ -147,8 +147,11 @@ def test_pack_sequences_matches_single_window_reference(spark):
 
 
 def test_pack_sequences_plan_has_no_global_window(spark):
-    """The data-bearing path must never exchange to a single partition; only
-    the per-partition-totals offset window (≤ parallelism rows) may."""
+    """The data-bearing cumsum must be a window PARTITIONED by the range
+    partition (`_part`), never an unpartitioned global window (which Spark
+    plans as `windowspecdefinition(doc_id ASC ...)` over an Exchange
+    SinglePartition of the whole dataset). The only single-partition window
+    allowed is the offsets one over the ≤ parallelism per-partition totals."""
     from etl_spark.functions.tokens import pack_sequences
 
     df = spark.range(100).select(
@@ -156,12 +159,10 @@ def test_pack_sequences_plan_has_no_global_window(spark):
         F.sequence(F.lit(1), F.lit(5)).cast("array<int>").alias("tokens"),
     )
     plan = pack_sequences(df, budget=64)._jdf.queryExecution().executedPlan().toString()
-    # the local cumsum window partitions by _part; a raw global window would
-    # print 'Window [...], [doc_id ...]' with no partition spec on the data path
-    assert "partitionBy" not in plan or True  # plan text varies; key assertion below
-    # the only SinglePartition exchange allowed feeds the offsets window
-    # (input = per-partition totals); the local window must partition by _part
-    assert "_part" in plan
+    # old formulation: global window keyed only on doc_id
+    assert "windowspecdefinition(doc_id" not in plan
+    # new formulation: the data window is partitioned by _part
+    assert "windowspecdefinition(_part" in plan
 
 
 @pytest.mark.parametrize("seq_len,stride", [(8, 8), (8, 4), (4, 8), (16, 16)])
