@@ -645,6 +645,32 @@ def q_tok_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tok_clamp_unk",
+    f"""
+    WITH {_ENCODE_SQL}
+    SELECT doc_id,
+           md5(coalesce(array_to_string(
+               list_transform(tokens, x -> CASE WHEN x >= 0 AND x < 500 THEN x ELSE CAST(-2 AS INTEGER) END),
+               ','), '')) AS tokens_md5,
+           CAST(len(list_filter(tokens, x -> x < 0 OR x >= 500)) AS INTEGER) AS n_oov
+    FROM enc
+    """,
+)
+def q_tok_clamp_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocab clamping (functions/tokens.clamp_vocab, element-wise
+    codegen'd transform): ids outside [0, 500) map to unk=-2; n_oov counts
+    the clamped positions."""
+    from etl_spark.functions.tokens import clamp_vocab
+
+    enc = _encode(spark, sf_dir)
+    return enc.select(
+        "doc_id",
+        _arr_md5(clamp_vocab("tokens", vocab=500, unk_id=-2)).alias("tokens_md5"),
+        F.size(F.filter(F.col("tokens"), lambda t: (t < 0) | (t >= 500))).cast("int").alias("n_oov"),
+    )
+
+
 # =====================================================================
 # Text analysis over documents
 # =====================================================================
@@ -1009,6 +1035,45 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold_milli=300)
 
 
+_SIMHASH_SQL = f"""
+    d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+    votes AS (SELECT doc_id, b,
+                     sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM hashed, LATERAL (SELECT unnest(range(60)) AS b)
+              GROUP BY doc_id, b),
+    sim AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_SQL},
+    blocked AS (SELECT doc_id, simhash, CAST(j AS INTEGER) AS block_id,
+                       (simhash >> CAST(j * 15 AS INTEGER)) & 32767 AS block_val
+                FROM sim, LATERAL (SELECT unnest(range(4)) AS j)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                             a.simhash AS sh_a, b.simhash AS sh_b
+             FROM blocked a JOIN blocked b
+               ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 16
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via pigeonhole blocking (fuzzy_dedup.
+    simhash_near_pairs): 60-bit fingerprints split into 4 15-bit blocks;
+    candidates share >= 1 block (guaranteed complete for hamming < 4; the
+    looser hamming <= 16 filter here reports exactly the block-recalled
+    subset, mirrored in the oracle's identical blocking)."""
+    out = FD.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=16)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @register(
     "dedup_simhash",
     f"""
@@ -1175,6 +1240,28 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price * (100 - disc) * (100 + tax)).alias("sum_charge_c6"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@register(
+    "tpch_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (per flag+status, per flag, grand total)
+    through the native DataFrame rollup — one pass, subtotal rows carry NULL
+    grouping columns in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("long")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(qty).alias("sum_qty_cents"), F.count(F.lit(1)).alias("count_order"))
     )
 
 
@@ -1440,6 +1527,83 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window aggregation (operators/events.tumbling_counts; the
     same expression runs incrementally under Structured Streaming)."""
     return EV.tumbling_counts(_t(spark, sf_dir, "events"), width="1 hour")
+
+
+@register(
+    "events_sliding_counts",
+    """
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS vc
+               FROM events),
+    w AS (SELECT ((es // 900) - CAST(k AS BIGINT)) * 900 AS window_start, event_type, vc
+          FROM e, LATERAL (SELECT unnest(range(4)) AS k))
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(vc) AS BIGINT) AS value_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1h width, 15min slide) via Spark's
+    native F.window — each event contributes to width/slide = 4 overlapping
+    windows; the same expression runs incrementally under Structured
+    Streaming. Oracle expands the window membership with a LATERAL range."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "win_lag_delta",
+    """
+    WITH e AS (SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+    SELECT user_id, event_id,
+           CAST(vc - lag(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta_cents
+    FROM e
+    """,
+)
+def q_win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value delta vs the previous event (lag window — one range
+    shuffle on the partition key; first event per user reads NULL)."""
+    ev = _t(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", (vc - F.lag(vc).over(w)).cast("long").alias("delta_cents")
+    )
+
+
+@register(
+    "events_pivot_type_counts",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) per-user event-type counts via the native
+    DataFrame pivot with an explicit value list (no extra pass to discover
+    categories); absent combinations fill 0 to match the conditional-sum
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").pivot("event_type", cats).count().na.fill(0, cats)
 
 
 @register(
