@@ -43,6 +43,7 @@ see operators/dedup.py).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import urllib.parse
 from dataclasses import dataclass
@@ -308,6 +309,22 @@ def _merge_attempt(
         est_rows = touched_rows + (n_changes if n_changes is not None else target_rows_per_file // 10)
         par = spark.sparkContext.defaultParallelism
         n_files = max(par, (est_rows // target_rows_per_file) + 1)
+        # manifest stats ride the SAME Observation as the lineage metrics:
+        # after the range exchange, output partition i becomes file
+        # part-{i:05d}, so per-partition (count, min, max) of doc_id ARE the
+        # per-file manifest entries — the write tasks ship the stats back,
+        # Iceberg-style, and the written data is never rescanned. Guarded to
+        # a bounded file count (conditional-aggregate width grows with
+        # n_files); beyond it the one distributed stats scan is the fallback.
+        obs_file_stats = n_files <= MAX_OBSERVED_STAT_FILES
+        if obs_file_stats:
+            pid = F.spark_partition_id()
+            for i in range(n_files):
+                metric_exprs += [
+                    F.min(F.when(pid == i, F.col("doc_id"))).alias(f"fmin_{i}"),
+                    F.max(F.when(pid == i, F.col("doc_id"))).alias(f"fmax_{i}"),
+                    F.sum(F.when(pid == i, 1).otherwise(0)).alias(f"fcnt_{i}"),
+                ]
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         metric_cols = ["_applied", "_is_delete", "_existed", "_was_live", "_chg_lsn"]
         (
@@ -345,7 +362,11 @@ def _merge_attempt(
         ] or [{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": sid_next}]
         rows_upserted = sum(r["rows_upserted"] for r in lineage)
         rows_deleted = sum(r["rows_deleted"] for r in lineage)
-        add_files = _collect_file_stats(table, stage, snap["schema_version"])
+        add_files = None
+        if obs_file_stats:
+            add_files = _files_from_observation(m, stage, n_files, snap["schema_version"])
+        if add_files is None:
+            add_files = _collect_file_stats(table, stage, snap["schema_version"])
         try:
             new_sid = table.commit(
                 add_files=add_files,
@@ -366,19 +387,60 @@ def _merge_attempt(
         dedup.unpersist()
 
 
+MAX_OBSERVED_STAT_FILES = 256
+
+_PART_RE = re.compile(r"^part-(\d{5})-.*\.parquet$")
+
+
+def _files_from_observation(
+    metrics: dict, stage: str, n_files: int, schema_version: int
+) -> list[dict] | None:
+    """Build manifest entries from the write job's own per-partition metrics
+    (partition i -> file part-{i:05d}) — zero extra jobs. Returns None if
+    the on-disk files don't reconcile with the metrics (e.g. an unexpected
+    writer layout), in which case the caller falls back to the scan."""
+    by_index: dict[int, str] = {}
+    for fn in os.listdir(stage):
+        mm = _PART_RE.match(fn)
+        if mm:
+            by_index[int(mm.group(1))] = fn
+    add_files = []
+    for i in range(n_files):
+        cnt = metrics.get(f"fcnt_{i}")
+        fn = by_index.pop(i, None)
+        if not cnt:
+            # empty partition: Spark writes no file (the rare all-empty
+            # write creates one schema-only file — remove it as untracked)
+            if fn is not None:
+                os.remove(os.path.join(stage, fn))
+            continue
+        if fn is None:
+            return None  # rows observed but no file — reconcile via scan
+        add_files.append(
+            {
+                "path": os.path.abspath(os.path.join(stage, fn)),
+                "rows": cnt,
+                "min_key": metrics[f"fmin_{i}"],
+                "max_key": metrics[f"fmax_{i}"],
+                "schema_version": schema_version,
+            }
+        )
+    if by_index:
+        return None  # files beyond the expected partition range
+    return add_files
+
+
 def _collect_file_stats(table: LakeTable, stage: str, schema_version: int) -> list[dict]:
     """Per-file (rows, min/max doc_id) for every file the apply wrote — the
     manifest entries that drive the next merge's copy-on-write pruning.
 
-    Collected with ONE distributed column-pruned Spark scan of the written
-    files (grouped by ``input_file_name``) instead of a driver-side loop over
-    parquet footers — at cluster scale the driver loop is a per-epoch serial
-    fraction that caps replay scaling (round-1 post-mortem); on a real
-    deployment these stats ship back from the write tasks themselves
-    (Iceberg's write-result manifest), for which this scan is the
-    API-compatible stand-in. Files are tagged with the schema_version they
-    were written under so rename-aware reads can resolve their column names
-    by field id."""
+    FALLBACK path (the primary is ``_files_from_observation``: stats ride
+    the write job's CollectMetrics, zero extra jobs): ONE distributed
+    column-pruned Spark scan of the written files grouped by
+    ``input_file_name`` — still never a driver-side footer loop, which was
+    the round-1 per-epoch serial fraction. Files are tagged with the
+    schema_version they were written under so rename-aware reads can
+    resolve their column names by field id."""
     rows = (
         table.spark.read.parquet(stage)
         .groupBy(F.input_file_name().alias("uri"))
