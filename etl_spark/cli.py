@@ -13,6 +13,7 @@ Subcommands:
   replay   batch-replay a binlog dir into a table, one epoch per lsn_bucket
   stream   Structured-Streaming tail (AvailableNow) with checkpoint resume
   compact  small-file compaction on a table
+  evolve   metadata-only schema evolution: add / widen / rename columns
   lineage  print the table's lineage ledger + exactly-once coverage report
 """
 
@@ -51,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.add_argument("--small-file-rows", type=int, default=100_000)
+
+    ev = sub.add_parser("evolve")
+    ev.add_argument("--table", required=True)
+    ev.add_argument("--add", action="append", default=[], metavar="NAME:TYPE")
+    ev.add_argument("--widen", action="append", default=[], metavar="NAME:TYPE")
+    ev.add_argument("--rename", action="append", default=[], metavar="OLD:NEW")
 
     li = sub.add_parser("lineage")
     li.add_argument("--table", required=True)
@@ -125,6 +132,27 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         sid = compact(table, small_file_rows=args.small_file_rows)
         print(json.dumps({"snapshot": sid}))
+        return 0
+
+    if args.cmd == "evolve":
+        def _pairs(items: list[str]) -> list[tuple[str, str]]:
+            out = []
+            for it in items:
+                a, _, b = it.partition(":")
+                if not a or not b:
+                    raise SystemExit(f"expected NAME:VALUE, got {it!r}")
+                out.append((a, b))
+            return out
+
+        table = LakeTable(spark, args.table)
+        sid = table.update_schema(
+            add_columns=_pairs(args.add),
+            widen=dict(_pairs(args.widen)),
+            renames=dict(_pairs(args.rename)),
+        )
+        print(json.dumps({"snapshot": sid, "schema": [
+            (f.name, f.dataType.simpleString()) for f in table.schema().fields
+        ]}))
         return 0
 
     if args.cmd == "lineage":

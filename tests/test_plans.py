@@ -65,10 +65,18 @@ def test_merge_planning_broadcasts_file_stats(spark, tmp_path):
         "cdc_lww_dedup",
         "tok_vocab_encode",
         "tok_chunk",
+        "tok_clamp_unk",
+        "tok_pack_sequences",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "ann_lsh_topk",
+        "ann_lsh_multi_topk",
         "events_sessionize",
+        "events_sliding_counts",
+        "events_pivot_type_counts",
+        "tpch_rollup_pricing",
+        "win_lag_delta",
         "mm_binary_meta",
     ],
 )
