@@ -42,6 +42,29 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Per (sliding time window, event_type) counts + value total in cents.
+
+    Overlapping windows via native ``F.window(ts, width, slide)`` — each
+    event contributes to width/slide windows (the engine expands membership
+    JVM-side, no self-join). Same expression runs incrementally under
+    Structured Streaming with a watermark.
+    """
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user: a new session starts when the gap
     since the user's previous event exceeds ``gap_minutes``.

@@ -782,6 +782,47 @@ def q_text_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topk",
+    f"""
+    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf
+           FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM d)) GROUP BY w),
+    scored AS (SELECT tf.doc_id, tf.w,
+                      CAST(tf.tf * ((1000 * (SELECT n_docs FROM n)) // df.df) AS BIGINT) AS score_milli
+               FROM tf JOIN df USING (w)),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, w ASC) AS INTEGER) AS rank
+               FROM scored)
+    SELECT doc_id, w AS term, score_milli, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by the log-free TF-IDF analog
+    ``score = tf * (1000 * N div df)`` — integer-exact (a real log-IDF is
+    not bit-reproducible across engines), same ordering intent. Two hash
+    aggregates (tf, df) + a broadcast of the df side (vocabulary-sized) +
+    a per-doc top-k window partitioned by doc_id — no global window, no
+    all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select("doc_id", F.explode(T.tokenize_ws("text")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.expr(f"CAST(1000 * {n_docs} AS BIGINT) div df")).alias("score_milli"),
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score_milli"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "score_milli", "rank")
+    )
+
+
+@register(
     "corpus_pipeline",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS ntext, {_WS_SQL} AS ws FROM documents),
@@ -839,6 +880,41 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = enc.select("doc_id", truncate_tokens("tokens", 128).alias("tokens"))
     return out.select(
         "doc_id", _arr_md5("tokens").alias("tokens_md5"), F.size("tokens").cast("int").alias("n_tok")
+    )
+
+
+@register(
+    "corpus_sample_by_source",
+    """
+    WITH d AS (SELECT source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS bucket,
+                      100 + ('0x' || substr(md5(source), 1, 7))::BIGINT % 800 AS rate_milli
+               FROM documents)
+    SELECT source,
+           CAST(max(rate_milli) AS BIGINT) AS rate_milli,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < rate_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM d GROUP BY source
+    """,
+)
+def q_corpus_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling (operators/sampling.py):
+    per-source keep-rate (here derived from the source-name hash as a
+    stand-in for a user's mixture table), membership decided by a pure
+    key-hash — so replays and the SQL oracle select the IDENTICAL rows,
+    unlike seeded sampleBy which is partition-layout-dependent. Output is
+    the per-source sample census."""
+    from etl_spark.operators import sampling as SAMP
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.lit(100) + F.pmod(T.md5_int("source", 7), F.lit(800))
+    kept = docs.where(SAMP.hash_bucket("doc_id") < rate)
+    totals = docs.groupBy("source").agg(
+        F.max(rate).cast("long").alias("rate_milli"), F.count(F.lit(1)).alias("n_docs")
+    )
+    kcounts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return totals.join(kcounts, "source", "left").na.fill(0, ["n_kept"]).select(
+        "source", "rate_milli", "n_docs", "n_kept"
     )
 
 
@@ -1544,24 +1620,12 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window aggregation (1h width, 15min slide) via Spark's
-    native F.window — each event contributes to width/slide = 4 overlapping
-    windows; the same expression runs incrementally under Structured
-    Streaming. Oracle expands the window membership with a LATERAL range."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
-            "event_type",
-            "n_events",
-            "value_cents",
-        )
-    )
+    """Sliding-window aggregation (1h width, 15min slide,
+    operators/events.sliding_counts) — each event contributes to
+    width/slide = 4 overlapping windows; the same expression runs
+    incrementally under Structured Streaming. Oracle expands the window
+    membership with a LATERAL range."""
+    return EV.sliding_counts(_t(spark, sf_dir, "events"), width="1 hour", slide="15 minutes")
 
 
 @register(
