@@ -202,6 +202,64 @@ def lsh_topk_multi(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions vectors
+    into cells; candidates are same-cell pairs (never all-pairs).
+
+    The quantizer is data-dependent like a k-means codebook but
+    DETERMINISTIC with no iteration: the ``n_cells`` vectors with the
+    lowest ``md5(vec_id)`` serve as centroids (a uniform, replay-stable
+    sample); every vector joins against the broadcast centroid set (n x
+    n_cells, narrow) and lands in the cell of its highest-cosine centroid
+    (ties by centroid id). Swapping in real k-means centroids changes ONLY
+    the centroid CTE — the assignment join, cell join, and top-k shapes are
+    identical, which is the point of the operator. Recall rises with
+    ``n_cells`` shrinking or an nprobe>1 assignment; output shape =
+    lsh_topk."""
+    from pyspark.sql import Window
+
+    prepped = _prepped(embeddings, id_col, vec_col)
+    cents = (
+        prepped.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(
+            F.col("vid").alias("cvid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
+        )
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cvid"))
+    assigned = (
+        prepped.join(F.broadcast(cents))
+        .withColumn("ccos", cosine_micro(F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("vid", "v", "n2", F.col("cvid").alias("cell"))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, on="cell")
+        .where(F.col("a.vid") != F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_id"),
+            F.col("b.vid").alias("neighbor_id"),
+            cosine_micro(F.col("a.v"), F.col("b.v"), F.col("a.n2"), F.col("b.n2")).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_micro")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold_micro: int = 950_000,

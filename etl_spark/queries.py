@@ -1246,6 +1246,40 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+_COS_PC_SQL = (
+    "CAST(round(CAST(list_sum(list_transform(range(1, 65), "
+    "i -> p.v[CAST(i AS INTEGER)] * c.cv[CAST(i AS INTEGER)])) AS BIGINT) "
+    "/ (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_EMB_PREP_SQL},
+    cents AS (SELECT vid AS cvid, v AS cv, n2 AS cn2 FROM pn
+              ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT 16),
+    assign0 AS (SELECT p.vid, p.v, p.n2, c.cvid, {_COS_PC_SQL} AS ccos
+                FROM pn p CROSS JOIN cents c),
+    assigned AS (SELECT vid, v, n2, cvid AS cell
+                 FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cvid ASC) AS rn
+                       FROM assign0)
+                 WHERE rn = 1),
+    pairs AS (SELECT a.vid AS vec_id, b.vid AS neighbor_id, {_COS_SQL} AS cos_micro
+              FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid <> b.vid),
+    ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos_micro DESC, neighbor_id ASC) AS INTEGER) AS rank
+               FROM pairs)
+    SELECT vec_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 3
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-3 (operators/similarity.ivf_topk): a
+    deterministic 16-centroid coarse quantizer assigns each vector to its
+    best cell; candidates are same-cell pairs — the inverted-file join
+    shape, swap-ready for real k-means centroids."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3, n_cells=16)
+
+
 _LSH_MULTI_TABLES = 3
 
 

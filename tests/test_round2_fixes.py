@@ -259,6 +259,23 @@ def test_lsh_multi_recall_dominates_single_table(spark):
     assert rec_wide >= 0.5  # the recall knob delivers (measured 0.559)
 
 
+def test_ivf_recall_beats_single_table_lsh(spark):
+    """The IVF coarse-quantizer cells concentrate genuinely-near vectors far
+    better than 8-plane hyperplane buckets on this data: measured recall
+    0.206 (deterministic) vs 0.039 for single-table LSH, at ~n^2/cells
+    candidate pairs."""
+    from etl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in brute_force_topk(emb, k=3).collect()}
+    ivf = {(r["vec_id"], r["neighbor_id"]) for r in ivf_topk(emb, k=3, n_cells=16).collect()}
+    lsh = {(r["vec_id"], r["neighbor_id"]) for r in lsh_topk(emb, k=3).collect()}
+    rec_ivf = len(ivf & exact) / len(exact)
+    rec_lsh = len(lsh & exact) / len(exact)
+    assert rec_ivf > rec_lsh
+    assert rec_ivf >= 0.15
+
+
 # ------------------------------------------- merge file-count estimate
 
 
