@@ -279,6 +279,57 @@ def test_ivf_recall_beats_single_table_lsh(spark):
 # ------------------------------------------- merge file-count estimate
 
 
+def test_merge_stats_fallback_above_observed_width(spark, tmp_table_dir):
+    """When the planned file count exceeds the bounded conditional-aggregate
+    width, manifest stats come from the distributed scan fallback — and the
+    next merge still plans/prunes correctly from them."""
+    from etl_spark.operators import merge as M
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    bulk = spark.range(3000).select(
+        F.format_string("k%06d", F.col("id")).alias("doc_id"),
+        F.col("id").alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.lit("U").alias("op"),
+        F.col("id").alias("value_cents"),
+        F.lit("s").alias("source"),
+    )
+    merge_batch(table, bulk, epoch=0, target_rows_per_file=10)
+    # epoch 0 seeds an empty table (no planning job -> no n_changes -> file
+    # count floors at parallelism); epoch 1 re-touches everything with
+    # n_changes measured, so the estimate exceeds the observed-stat width
+    r = merge_batch(
+        table,
+        bulk.withColumn("commit_lsn", F.col("commit_lsn") + 10000),
+        epoch=1,
+        target_rows_per_file=10,
+    )
+    assert r.files_added > M.MAX_OBSERVED_STAT_FILES  # fallback path exercised
+    files = table.files()
+    assert sum(f["rows"] for f in files) == 3000
+    assert all(f["min_key"] is not None and f["max_key"] is not None for f in files)
+    # a follow-up microbatch plans against the fallback-collected stats
+    r2 = merge_batch(table, _batch(spark, [("k000042", 99999, 0, "U", 1, "s")]), epoch=2, target_rows_per_file=10)
+    assert r2.applied and r2.files_rewritten <= 2
+    assert table.read().where("doc_id = 'k000042'").collect()[0]["value_cents"] == 1
+    assert table.read().count() == 3000
+
+
+def test_merge_observed_stats_skip_empty_partitions(spark, tmp_table_dir):
+    """A microbatch smaller than the parallelism floor leaves empty range
+    partitions: manifest entries exist only for written files and their row
+    counts reconcile."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _batch(spark, [("a", 1, 0, "U", 1, "s"), ("b", 2, 0, "U", 2, "s")]), epoch=0)
+    files = table.files()
+    assert sum(f["rows"] for f in files) == 2
+    assert all(f["rows"] > 0 for f in files)
+    import os
+
+    for f in files:
+        assert os.path.exists(f["path"])
+
+
 def test_merge_file_count_tracks_batch_not_table(spark, tmp_table_dir):
     """A tiny microbatch against a larger table must not fragment the write
     into ~table_rows/target files: with target_rows_per_file small enough to
