@@ -176,6 +176,14 @@ def _merge_attempt(
         )
         touched_paths |= {r["path"] for r in hits}
         n_changes = obs_plan.get["n"]
+    elif not files:
+        # initial load: there is no planning join to ride the count on, and
+        # without it the write would floor at `par` files regardless of
+        # batch size (10^10-row first load -> par oversized files). One
+        # count job sizes the write; it materializes the persisted dedup the
+        # write job then reuses, so no work is duplicated — and it runs once
+        # per table lifetime.
+        n_changes = dedup.count()
 
     # ---- resolve LWW against the touched slice of the table
     if touched_paths:
