@@ -228,6 +228,30 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(vertices, edges, max_rounds=2)
 
 
+def test_merge_dedup_strategies_agree(spark, tmp_path):
+    """merge_batch with the narrow winner-fetch dedup (payload never rides
+    the winner shuffle) must land the identical final state as the default
+    max_by aggregate, including tombstones and out-of-order events."""
+    from etl_spark.datagen import BinlogSpec, generate_binlog
+
+    feed = generate_binlog(spark, BinlogSpec(n_events=3000, n_keys=250, seed=11)).drop(
+        "lsn_bucket", "delivery_pos"
+    )
+    states = {}
+    for strat in ("agg", "fetch"):
+        from etl_spark.schema import TARGET_SCHEMA
+
+        table = LakeTable.create_if_absent(spark, str(tmp_path / strat), TARGET_SCHEMA)
+        cut = 1500
+        merge_batch(table, feed.where(F.col("commit_lsn") <= cut), epoch=0, dedup_strategy=strat)
+        merge_batch(table, feed.where(F.col("commit_lsn") > cut), epoch=1, dedup_strategy=strat)
+        states[strat] = {
+            r["doc_id"]: (tuple(r["tokens"] or []), r["n_tok"], r["source"])
+            for r in table.read().collect()
+        }
+    assert states["agg"] == states["fetch"] and states["agg"]
+
+
 # ---------------------------------------------------- multi-table ANN LSH
 
 
