@@ -193,6 +193,64 @@ def test_chunk_catalyst_plan_is_jvm_only(spark):
     assert "MapInPandas" not in plan and "EvalPython" not in plan
 
 
+def test_chunk_count_formula_matches_reference_loop():
+    """Property check (pure Python, exhaustive over a grid): the Catalyst
+    kernel's closed-form chunk ids — 0..min(ceil((n-L)/S), ceil(n/S)-1) for
+    n > L, else the single chunk 0 — equal the imperative chunking loop's
+    emissions for every (n, seq_len, stride) combination."""
+
+    def loop_chunks(n: int, seq_len: int, stride: int) -> list[int]:
+        if n <= seq_len:
+            return [0]
+        out, cid = [], 0
+        for start in range(0, n, stride):
+            if n - start <= 0:
+                break
+            out.append(cid)
+            cid += 1
+            if start + seq_len >= n:
+                break
+        return out
+
+    def formula_chunks(n: int, seq_len: int, stride: int) -> list[int]:
+        if n <= seq_len:
+            return [0]
+        k_tail = (n - seq_len + stride - 1) // stride
+        k_last_nonempty = (n + stride - 1) // stride - 1
+        return list(range(min(k_tail, k_last_nonempty) + 1))
+
+    for n in range(0, 120):
+        for seq_len in range(1, 40, 3):
+            for stride in range(1, 50, 3):
+                assert formula_chunks(n, seq_len, stride) == loop_chunks(n, seq_len, stride), (
+                    n,
+                    seq_len,
+                    stride,
+                )
+
+
+def test_rename_then_readd_old_name(spark, tmp_table_dir):
+    """Field-id identity: after value_cents -> amount_cents, a NEW column
+    may reuse the name value_cents. Old files' physical value_cents column
+    must surface as amount_cents (same field id), while the re-added
+    value_cents reads NULL for pre-evolution rows."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _batch(spark, [("a", 1, 0, "U", 777, "s")]), epoch=0)
+    table.rename_column("value_cents", "amount_cents")
+    table.update_schema(add_columns=[("value_cents", "bigint")])
+    row = table.read().collect()[0]
+    assert row["amount_cents"] == 777
+    assert row["value_cents"] is None
+    # and a new write fills both independently
+    e1 = spark.createDataFrame(
+        [("b", 2, 0, "U", 100, 200, "s")],
+        "doc_id string, commit_lsn long, op_seq int, op string, amount_cents long, value_cents long, source string",
+    )
+    merge_batch(table, e1, epoch=1)
+    got = {r["doc_id"]: (r["amount_cents"], r["value_cents"]) for r in table.read().collect()}
+    assert got == {"a": (777, None), "b": (100, 200)}
+
+
 # --------------------------------------------------------- runtime guards
 
 
