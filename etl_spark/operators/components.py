@@ -40,6 +40,8 @@ def connected_components(
     ``vertices``: one row per vertex (isolated vertices become their own
     component). ``edges``: undirected pairs (one direction suffices).
     """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))

@@ -113,18 +113,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_shingles(sh: DataFrame, id_col: str, k: int = MINHASH_K) -> DataFrame:
+    """k permuted min-aggregates over a distinct (sid, shingle) set — the
+    single home of the signature formula (minhash_signatures and
+    minhash_lsh_pairs both call it; keeping one copy is what preserves the
+    'LSH pairs are a recalled subset of exact Jaccard' relationship)."""
+    hashed = sh.withColumn("h", md5_int(F.col("shingle"), 7))
+    aggs = [
+        F.min(F.pmod(F.col("h") * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_P))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return hashed.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
     """Per-doc MinHash signature: k min-aggregates over permuted shingle
     hashes. One shuffle (partial agg combines map-side); signature columns
     mh0..mh{k-1}. Base hash is 28-bit md5-derived so A[i]*h+B[i] < 2^58."""
-    sh = doc_shingles(docs, text_col, id_col, n).withColumn("h", md5_int(F.col("shingle"), 7))
-    aggs = [
-        F.min(F.pmod(F.col("h") * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_P))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+    return _signatures_from_shingles(doc_shingles(docs, text_col, id_col, n), id_col, k)
 
 
 def minhash_lsh_pairs(
@@ -157,12 +165,7 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    hashed = sh.withColumn("h", md5_int(F.col("shingle"), 7))
-    aggs = [
-        F.min(F.pmod(F.col("h") * MINHASH_A[i] + MINHASH_B[i], F.lit(MINHASH_P))).alias(f"mh{i}")
-        for i in range(MINHASH_K)
-    ]
-    sig = hashed.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+    sig = _signatures_from_shingles(sh, id_col)
     band_rows = []
     for j in range(bands):
         cols = [F.col(f"mh{i}").cast("string") for i in range(j * r, (j + 1) * r)]

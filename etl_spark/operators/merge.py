@@ -292,6 +292,7 @@ def _merge_attempt(
 
     resolved = resolved.persist()
     stage: str | None = None
+    committed = False
     try:
         # ---- lineage metrics ride the apply pass itself (CollectMetrics /
         # Observation): no separate aggregation job scans the resolved
@@ -399,10 +400,15 @@ def _merge_attempt(
         except TableCommitError:
             # another writer advanced HEAD after we planned: this attempt's
             # files are orphaned — drop them and let merge_batch replan
-            shutil.rmtree(stage, ignore_errors=True)
             raise
+        committed = True
         return MergeResult(new_sid, True, rows_upserted, rows_deleted, len(touched_paths), len(add_files))
     finally:
+        if not committed and stage is not None:
+            # ANY failure after staging (write error, metrics, commit
+            # conflict) leaves orphaned files — remove them; gc_orphans
+            # covers only hard crashes that skip this frame entirely
+            shutil.rmtree(stage, ignore_errors=True)
         resolved.unpersist()
         dedup.unpersist()
 

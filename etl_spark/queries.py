@@ -805,8 +805,10 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc top-k window partitioned by doc_id — no global window, no
     all-pairs."""
     docs = _t(spark, sf_dir, "documents")
+    # metadata-only count (parquet row-group stats — no data scan); the
+    # exploded words feed BOTH aggregates, so persist them once
     n_docs = docs.count()
-    words = docs.select("doc_id", F.explode(T.tokenize_ws("text")).alias("w"))
+    words = docs.select("doc_id", F.explode(T.tokenize_ws("text")).alias("w")).persist()
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = words.distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "w").select(

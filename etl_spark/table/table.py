@@ -68,6 +68,25 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.rename(tmp, path)
 
 
+def _atomic_create_json(path: str, obj: dict) -> None:
+    """Create-exclusive JSON write: the commit-file creation IS the CAS, so
+    it must FAIL for the loser of a race. ``os.link`` (like O_EXCL) raises
+    FileExistsError if the target exists — unlike ``os.rename``, which
+    silently replaces and would let two writers both 'win' the same
+    snapshot id, one overwriting the other's fences/lineage/files."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError as e:
+        raise TableCommitError(f"concurrent commit: {os.path.basename(path)} already exists") from e
+    finally:
+        os.unlink(tmp)
+
+
 def _atomic_write_text(path: str, text: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -261,10 +280,17 @@ class LakeTable:
             raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(groups[sv]))
             writer_names = self._names_at_version(sv) if sv is not None else None
             if writer_names:
-                for fid, old in writer_names.items():
-                    new = target_names.get(fid)
-                    if new is not None and new != old and old in raw.columns:
-                        raw = raw.withColumnRenamed(old, new)
+                # ONE simultaneous select, not sequential withColumnRenamed:
+                # a rename chain may reuse a name another field held at
+                # write time (value->source after source->origin), and
+                # in-place renames would collide/duplicate mid-sequence
+                name_to_fid = {n: fid for fid, n in writer_names.items()}
+                sel = []
+                for cname in raw.columns:
+                    fid = name_to_fid.get(cname)
+                    tgt = target_names.get(fid, cname) if fid is not None else cname
+                    sel.append(F.col(f"`{cname}`").alias(tgt))
+                raw = raw.select(*sel)
             parts.append(self._project(raw, schema))
         out = parts[0]
         for p in parts[1:]:
@@ -367,6 +393,20 @@ class LakeTable:
     def stage_dir(self, sid: int) -> str:
         return os.path.join(self.data_dir, f"s{sid:010d}-{uuid.uuid4().hex[:8]}")
 
+    def _recover_head(self) -> int:
+        """Roll HEAD forward over fully-written commit files left by a
+        writer that crashed between the commit-file create (the CAS point —
+        temp-write + fsync + link, so a visible file is always complete)
+        and the HEAD pointer update. Without this, the orphaned snapshot id
+        would block every later writer's create-exclusive commit."""
+        head = self.head_id()
+        advanced = head
+        while os.path.exists(self._commit_path(advanced + 1)):
+            advanced += 1
+        if advanced != head:
+            _atomic_write_text(os.path.join(self.meta_dir, "HEAD"), str(advanced))
+        return advanced
+
     def commit(
         self,
         add_files: list[dict],
@@ -384,7 +424,7 @@ class LakeTable:
         optimistic-concurrency check: a writer passes the head it planned
         against and the commit REFUSES if another writer advanced it —
         callers (merge_batch) re-plan against the new head and retry."""
-        parent = self.head_id()
+        parent = self._recover_head()
         if expect_parent is not None and parent != expect_parent:
             raise TableCommitError(f"concurrent commit: head={parent}, expected={expect_parent}")
         psnap = self.snapshot(parent)
@@ -403,11 +443,12 @@ class LakeTable:
             "summary": summary or {},
         }
         path = self._commit_path(sid)
-        if os.path.exists(path):
-            # another writer already claimed this snapshot id (the
-            # commit-file create is the CAS): surface as a retryable conflict
-            raise TableCommitError(f"concurrent commit: snapshot {sid} already exists")
-        _atomic_write_json(path, commit)
+        # create-exclusive: exactly one writer can claim snapshot id `sid`;
+        # the loser gets a retryable TableCommitError (merge replans). HEAD
+        # is then a plain pointer update — late HEAD writes are harmless
+        # because head_id() callers re-resolve and commit files are
+        # immutable once created.
+        _atomic_create_json(path, commit)
         _atomic_write_text(os.path.join(self.meta_dir, "HEAD"), str(sid))
         self._snap_cache[sid] = commit
         return sid
@@ -435,17 +476,32 @@ class LakeTable:
         fids = dict(self.field_ids())
         fields = {f.name: f for f in cur.fields}
         order = [f.name for f in cur.fields]
-        for old, new in (renames or {}).items():
-            if old not in fields:
-                raise TableCommitError(f"unknown column {old}")
-            if new in fields or new in (n for n, _ in (add_columns or [])):
-                raise TableCommitError(f"rename target {new} already exists")
-            if old == "doc_id":
-                raise TableCommitError("cannot rename the merge key")
-            f = fields.pop(old)
-            fields[new] = StructField(new, f.dataType, nullable=f.nullable)
-            fids[new] = fids.pop(old)
-            order[order.index(old)] = new
+        renames = dict(renames or {})
+        if renames:
+            # validate as a SIMULTANEOUS mapping (dict order must not matter):
+            # targets may not collide with each other, with surviving
+            # (un-renamed) columns, or with columns being added
+            for old in renames:
+                if old not in fields:
+                    raise TableCommitError(f"unknown column {old}")
+                if old == "doc_id":
+                    raise TableCommitError("cannot rename the merge key")
+            news = list(renames.values())
+            if len(set(news)) != len(news):
+                raise TableCommitError(f"duplicate rename targets: {sorted(news)}")
+            surviving = set(fields) - set(renames)
+            added = {n for n, _ in (add_columns or [])}
+            for new in news:
+                if new in surviving or new in added:
+                    raise TableCommitError(f"rename target {new} already exists")
+            # apply simultaneously: pop all olds first (a chain may reuse a
+            # name another field is giving up in the same call)
+            popped = {old: (fields.pop(old), fids.pop(old)) for old in renames}
+            for old, new in renames.items():
+                f, fid = popped[old]
+                fields[new] = StructField(new, f.dataType, nullable=f.nullable)
+                fids[new] = fid
+            order = [renames.get(n, n) for n in order]
         for name, dt in add_columns or []:
             if name in fields:
                 raise TableCommitError(f"column {name} already exists")

@@ -276,6 +276,15 @@ def test_lww_dedup_fetch_guard_passes_valid(spark):
     assert got == want == {"a": "y", "b": "z"}
 
 
+def test_connected_components_rejects_zero_rounds(spark):
+    from etl_spark.operators.components import connected_components
+
+    vertices = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_rounds"):
+        connected_components(vertices, edges, max_rounds=0)
+
+
 def test_connected_components_raises_when_unconverged(spark):
     from etl_spark.operators.components import connected_components
 

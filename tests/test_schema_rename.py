@@ -119,6 +119,51 @@ def test_compact_after_rename_rewrites_under_current_names(spark, tmp_table_dir)
     assert "value_cents" not in raw.columns
 
 
+def test_rename_chain_reusing_a_name(spark, tmp_table_dir):
+    """Name reuse across a chain: value_cents -> amount while source ->
+    value_cents IN THE SAME evolution commit. The rename is a simultaneous
+    mapping (dict order must not matter) and old files must resolve every
+    column by field id — a sequential in-place rename would collide."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _batch(spark, [("a", 1, 0, "U", 777, "src0")]), epoch=0)
+    table.update_schema(renames={"value_cents": "amount", "source": "value_cents"})
+    row = table.read().collect()[0]
+    assert row["amount"] == 777
+    assert row["value_cents"] == "src0"  # the OLD source column, new name
+    # same request in the other dict order behaves identically
+    t2 = LakeTable.create_if_absent(spark, tmp_table_dir + "_2", SCHEMA)
+    merge_batch(t2, _batch(spark, [("a", 1, 0, "U", 777, "src0")]), epoch=0)
+    t2.update_schema(renames={"source": "value_cents", "value_cents": "amount"})
+    row2 = t2.read().collect()[0]
+    assert (row2["amount"], row2["value_cents"]) == (777, "src0")
+
+
+def test_rename_rejects_colliding_targets(spark, tmp_table_dir):
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    with pytest.raises(TableCommitError, match="duplicate rename targets"):
+        table.update_schema(renames={"value_cents": "x", "source": "x"})
+
+
+def test_commit_create_is_exclusive_and_head_recovers(spark, tmp_table_dir):
+    """The commit-file create is the CAS: a snapshot id can be claimed once
+    (no silent overwrite), and a crash between commit-file create and HEAD
+    update is rolled forward by the next commit."""
+    import os
+    import shutil
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    sid = table.commit(add_files=[], summary={"w": "a"})
+    # simulate the crash: copy the commit file forward WITHOUT moving HEAD
+    nxt = table._commit_path(sid + 1)
+    shutil.copy(table._commit_path(sid), nxt)
+    assert table.head_id() == sid  # HEAD lags the orphan commit
+    # next commit recovers: rolls HEAD over the orphan, then claims sid+2
+    new_sid = table.commit(add_files=[], summary={"w": "b"})
+    assert new_sid == sid + 2
+    assert table.head_id() == sid + 2
+    assert os.path.exists(nxt)
+
+
 def test_read_range_after_rename(spark, tmp_table_dir):
     table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
     merge_batch(
