@@ -1155,16 +1155,8 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash",
     f"""
-    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
-    words AS (SELECT doc_id, unnest(ws) AS w FROM d),
-    hashed AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
-    votes AS (SELECT doc_id, b,
-                     sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-              FROM hashed, LATERAL (SELECT unnest(range(60)) AS b)
-              GROUP BY doc_id, b)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+    WITH {_SIMHASH_SQL}
+    SELECT doc_id, simhash FROM sim
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
