@@ -89,7 +89,9 @@ def chunk_for_training(
     ``seq_len``, ``last = min(ceil((n - seq_len)/stride), ceil(n/stride)-1)``
     — the first term ends chunking at the first window reaching the tail, the
     second guards stride > seq_len (no empty windows). Shorter docs pass
-    through as one chunk.
+    through as one chunk; zero-length docs emit ZERO rows (matching the SQL
+    oracle's ``range(ceil(n/stride))``, which is empty at n=0 — the Arrow
+    variant and the property tests encode the same contract).
 
     Output: (doc_id, chunk_id, tokens, n_tok). Structural heir of the
     reference's downsample (bulk payload reshape before the expensive
@@ -101,6 +103,7 @@ def chunk_for_training(
     last = F.when(n <= seq_len, F.lit(0)).otherwise(F.least(k_tail, k_last_nonempty)).cast("int")
     return (
         df.select(id_col, tokens_col)
+        .where(n > 0)
         .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), last)))
         .select(
             id_col,
@@ -134,6 +137,8 @@ def chunk_for_training_arrow(
             for doc_id, toks in zip(pdf[id_col], pdf[tokens_col]):
                 toks = list(toks)
                 n = len(toks)
+                if n == 0:
+                    continue  # zero rows for empty docs (oracle contract)
                 if n <= seq_len:
                     ids.append(doc_id)
                     chunk_ids.append(0)
@@ -150,11 +155,62 @@ def chunk_for_training_arrow(
                     cid += 1
                     if start + seq_len >= n:
                         break
+            # explicit dtypes: an all-filtered batch (every doc zero-length)
+            # yields an EMPTY frame, and pandas' default float64 for empty
+            # columns breaks the Arrow list<int32> conversion
             yield pd.DataFrame(
-                {id_col: ids, "chunk_id": chunk_ids, tokens_col: chunks, "n_tok": [len(c) for c in chunks]}
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+                    tokens_col: pd.Series(chunks, dtype=object),
+                    "n_tok": pd.Series([len(c) for c in chunks], dtype="int64"),
+                }
             )
 
     return df.select(id_col, tokens_col).mapInPandas(gen, schema=out_schema)
+
+
+def distributed_sorted_rank(
+    df: DataFrame,
+    col: str,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based rank of the DISTINCT values of ``col`` in global sort order —
+    bit-identical to ``row_number() OVER (ORDER BY col) - 1`` on the distinct
+    set, but never a single-partition sort.
+
+    TWO-PHASE distributed prefix count (same shape as ``pack_sequences``):
+    range-partition the distinct values (partition i holds a contiguous
+    sorted range strictly below partition i+1's), rank locally per
+    partition, then add each partition's prefix offset — a window over the
+    <=num_partitions per-partition counts (metadata, not data) broadcast
+    back. Every data-bearing step is partition-parallel; at web scale
+    (whitespace tokens over 100 TB of text -> effectively unbounded distinct
+    strings) the old global window would serialize the entire vocabulary
+    through one task. The two branches share the range exchange, which
+    Catalyst dedupes via ReusedExchange — the distinct set is shuffled once.
+
+    Returns ``(col, out_col:int)`` — one row per distinct value."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    distinct = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(num_partitions, col)
+        .withColumn("_part", F.spark_partition_id())
+    )
+    local = distinct.withColumn(
+        "_lrank", F.row_number().over(Window.partitionBy("_part").orderBy(col))
+    )
+    counts = distinct.groupBy("_part").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select("_part", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"))
+    return local.join(F.broadcast(offsets), "_part").select(
+        col, (F.col("_lrank") - 1 + F.col("_off")).cast("int").alias(out_col)
+    )
 
 
 def pack_sequences(

@@ -65,6 +65,7 @@ class MergeResult:
     rows_deleted: int
     files_rewritten: int
     files_added: int
+    mode: str = "cow"
 
 
 def _normalize_changes(schema: StructType, changes: DataFrame) -> DataFrame:
@@ -92,6 +93,8 @@ def merge_batch(
     max_broadcast_rows: int = 100_000,
     max_commit_retries: int = 3,
     dedup_strategy: str = "agg",
+    merge_mode: str = "auto",
+    mor_rewrite_ratio: float = 8.0,
 ) -> MergeResult:
     """Apply one change batch exactly-once. Returns a no-op result if the
     epoch is already fenced (idempotent replay); on a concurrent-writer
@@ -101,6 +104,14 @@ def merge_batch(
     ``resolve_strategy``: 'auto' (broadcast the deduped batch into the
     resolve join when it has <= max_broadcast_rows rows, else sort-merge
     full-outer), 'broadcast', or 'smj'.
+
+    ``merge_mode``: 'cow' (copy-on-write — rewrite every touched file),
+    'mor' (merge-on-read — write ONE batch-sized winners file flagged as an
+    equality-delete mask, rewrite nothing; table.py docstring), or 'auto'
+    (MoR when the touched slice is > ``mor_rewrite_ratio`` x the deduped
+    batch — the microbatch-against-big-table regime where CoW's write
+    amplification dominates; CoW otherwise, so bulk batches keep the
+    one-version-per-key layout and reads stay mask-free).
 
     ``dedup_strategy``: 'agg' (max_by aggregate — the default), 'fetch'
     (winner-id aggregation + payload fetch join: only (key, ord) rides the
@@ -125,6 +136,8 @@ def merge_batch(
                 "salted" if use_salted_dedup else dedup_strategy,
                 resolve_strategy,
                 max_broadcast_rows,
+                merge_mode,
+                mor_rewrite_ratio,
             )
         except TableCommitError as e:
             last_err = e
@@ -140,7 +153,11 @@ def _merge_attempt(
     dedup_strategy: str,
     resolve_strategy: str,
     max_broadcast_rows: int,
+    merge_mode: str,
+    mor_rewrite_ratio: float,
 ) -> MergeResult:
+    if merge_mode not in ("auto", "cow", "mor"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}; one of ['auto', 'cow', 'mor']")
     spark = table.spark
     # pin the whole attempt to one snapshot: plan, resolve, and commit all
     # see the same table state; commit(expect_parent=...) enforces it
@@ -175,19 +192,32 @@ def _merge_attempt(
         # planning job as an Observation — no extra action (a dedup.count()
         # here would recompute the whole dedup before the cache exists)
         obs_plan = Observation(f"plan-epoch-{epoch}")
+        # LEFT outer, not inner: when a batch touches NO file (all-new keys)
+        # an inner join's output is empty and AQE re-plans the query as an
+        # empty relation, dropping the CollectMetrics accumulators — the
+        # observation then raises on .get (observed empirically; latent in
+        # round 2, where every test batch happened to intersect a file).
+        # The null-path row keeps the output non-empty whenever the batch
+        # is, so the metrics always survive.
         hits = (
             dedup.observe(obs_plan, F.count(F.lit(1)).alias("n"))
             .select("doc_id")
             .join(
                 F.broadcast(stats_df),
                 (F.col("doc_id") >= F.col("min_key")) & (F.col("doc_id") <= F.col("max_key")),
+                "left_outer",
             )
             .select("path")
             .distinct()
             .collect()
         )
-        touched_paths |= {r["path"] for r in hits}
-        n_changes = obs_plan.get["n"]
+        touched_paths |= {r["path"] for r in hits if r["path"] is not None}
+        try:
+            n_changes = obs_plan.get["n"]
+        except Exception:
+            # an EMPTY batch still yields an empty plan output; the count
+            # reuses the dedup cache the planning job just materialized
+            n_changes = dedup.count()
     elif not files:
         # initial load: there is no planning join to ride the count on, and
         # without it the write would floor at `par` files regardless of
@@ -196,6 +226,36 @@ def _merge_attempt(
         # write job then reuses, so no work is duplicated — and it runs once
         # per table lifetime.
         n_changes = dedup.count()
+
+    if n_changes == 0:
+        # empty deduped batch: nothing to resolve or write. Still fence the
+        # epoch — streaming tails deliver empty microbatches and resume must
+        # stay monotone — via a files-unchanged commit.
+        dedup.unpersist()
+        new_sid = table.commit(
+            add_files=[],
+            fences=[{"checkpoint_epoch": epoch, "partition_id": -1, "committed_at_snapshot": head0 + 1}],
+            lineage=[],
+            summary={"rows_upserted": 0, "rows_deleted": 0, "epoch": epoch, "mode": "empty"},
+            expect_parent=head0,
+        )
+        return MergeResult(new_sid, True, 0, 0, 0, 0, mode="empty")
+
+    touched_rows = sum(f["rows"] for f in files if f["path"] in touched_paths)
+    # Merge-on-read decision: when a microbatch touches a slice far larger
+    # than itself, CoW pays touched_rows of write amplification for
+    # n_changes of actual change. MoR writes ONLY the winners (plus masks,
+    # which are free — table.py docstring) and defers the rewrite to
+    # compaction. Bulk batches stay CoW: their write is ~batch-sized either
+    # way, and CoW keeps reads mask-free.
+    use_mor = bool(touched_paths) and (
+        merge_mode == "mor"
+        or (
+            merge_mode == "auto"
+            and n_changes is not None
+            and touched_rows > mor_rewrite_ratio * max(n_changes, 1)
+        )
+    )
 
     # ---- resolve LWW against the touched slice of the table
     if touched_paths:
@@ -318,18 +378,27 @@ def _merge_attempt(
         # ---- apply: range-partition on the merge key, write, collect stats
         sid_next = head0 + 1
         stage = table.stage_dir(sid_next)
-        # file count: ~target_rows_per_file rows each, floored at cluster
-        # parallelism so the apply write always uses every core — a single
-        # write partition is a serial fraction that caps scaling (Amdahl);
-        # compaction (table/maintenance.py) re-packs small files later.
-        # Sized from what this write actually contains — the touched slice
-        # plus the batch (n_changes, already measured by the planning
-        # Observation) — NOT the whole table's row count, so microbatches
-        # against a big table don't fragment into table_rows/target files.
-        touched_rows = sum(f["rows"] for f in files if f["path"] in touched_paths)
-        est_rows = touched_rows + (n_changes if n_changes is not None else target_rows_per_file // 10)
         par = spark.sparkContext.defaultParallelism
-        n_files = max(par, (est_rows // target_rows_per_file) + 1)
+        if use_mor:
+            # batch-sized winners-only write: sized by n_changes with NO
+            # parallelism floor — a microbatch must not fragment into `par`
+            # near-empty files every epoch (that debt is exactly what MoR
+            # avoids); forced-mor bulk batches still fan out by size.
+            est_rows = n_changes if n_changes is not None else target_rows_per_file // 10
+            n_files = max(1, (est_rows // target_rows_per_file) + 1)
+            write_input = resolved.where(F.col("_applied"))
+        else:
+            # file count: ~target_rows_per_file rows each, floored at cluster
+            # parallelism so the apply write always uses every core — a single
+            # write partition is a serial fraction that caps scaling (Amdahl);
+            # compaction (table/maintenance.py) re-packs small files later.
+            # Sized from what this write actually contains — the touched slice
+            # plus the batch (n_changes, already measured by the planning
+            # Observation) — NOT the whole table's row count, so microbatches
+            # against a big table don't fragment into table_rows/target files.
+            est_rows = touched_rows + (n_changes if n_changes is not None else target_rows_per_file // 10)
+            n_files = max(par, (est_rows // target_rows_per_file) + 1)
+            write_input = resolved
         # manifest stats ride the SAME Observation as the lineage metrics:
         # after the range exchange, output partition i becomes file
         # part-{i:05d}, so per-partition (count, min, max) of doc_id ARE the
@@ -349,7 +418,7 @@ def _merge_attempt(
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         metric_cols = ["_applied", "_is_delete", "_existed", "_was_live", "_chg_lsn"]
         (
-            resolved.select(*out_cols, *metric_cols)
+            write_input.select(*out_cols, *metric_cols)
             .repartitionByRange(n_files, "doc_id")
             # observe sits ABOVE the range exchange: the boundary-sampling
             # job only executes the exchange's child, so the metrics are
@@ -388,13 +457,23 @@ def _merge_attempt(
             add_files = _files_from_observation(m, stage, n_files, snap["schema_version"])
         if add_files is None:
             add_files = _collect_file_stats(table, stage, snap["schema_version"])
+        if use_mor:
+            # the winners file doubles as the equality-delete mask: readers
+            # drop same-key rows from older files (table.py docstring)
+            for f in add_files:
+                f["mor"] = True
         try:
             new_sid = table.commit(
                 add_files=add_files,
-                remove_paths=touched_paths,
+                remove_paths=set() if use_mor else touched_paths,
                 fences=fences,
                 lineage=lineage,
-                summary={"rows_upserted": rows_upserted, "rows_deleted": rows_deleted, "epoch": epoch},
+                summary={
+                    "rows_upserted": rows_upserted,
+                    "rows_deleted": rows_deleted,
+                    "epoch": epoch,
+                    "mode": "mor" if use_mor else "cow",
+                },
                 expect_parent=head0,
             )
         except TableCommitError:
@@ -402,7 +481,15 @@ def _merge_attempt(
             # files are orphaned — drop them and let merge_batch replan
             raise
         committed = True
-        return MergeResult(new_sid, True, rows_upserted, rows_deleted, len(touched_paths), len(add_files))
+        return MergeResult(
+            new_sid,
+            True,
+            rows_upserted,
+            rows_deleted,
+            0 if use_mor else len(touched_paths),
+            len(add_files),
+            mode="mor" if use_mor else "cow",
+        )
     finally:
         if not committed and stage is not None:
             # ANY failure after staging (write error, metrics, commit
@@ -429,7 +516,16 @@ def _files_from_observation(
     for fn in os.listdir(stage):
         mm = _PART_RE.match(fn)
         if mm:
-            by_index[int(mm.group(1))] = fn
+            idx = int(mm.group(1))
+            if idx in by_index:
+                # a write task emitted >1 file for one partition (e.g. the
+                # user session sets spark.sql.files.maxRecordsPerFile ->
+                # part-00000-...-c000 AND -c001). The index->file bijection
+                # the metrics rely on is broken; silently keeping either
+                # file would commit the other's rows away. Reconcile via
+                # the distributed scan instead.
+                return None
+            by_index[idx] = fn
     add_files = []
     for i in range(n_files):
         cnt = metrics.get(f"fcnt_{i}")

@@ -28,6 +28,18 @@ both the commit file and HEAD — the single-writer analog of Iceberg's
 optimistic-concurrency metadata swap. A concurrent-writer CAS would replace
 the HEAD rename with a catalog compare-and-swap; documented seam, same API.
 
+Merge-on-read (round 3): a MERGE may commit in ``mor`` mode — it adds ONE
+batch-sized file of winning rows (upserts + tombstones) and rewrites
+nothing. Because that file contains exactly the applied keys, its own
+``doc_id`` column doubles as the equality-delete set (Iceberg MoR where the
+delete file IS the data file's key column): a row in a file committed at
+snapshot ``s`` is superseded iff its key appears in a ``mor``-flagged file
+with ``added_at > s``. ``load_files`` applies this mask with one
+column-pruned scan of the mor files' keys + a (broadcast when small) left
+join; copy-on-write commits remove every file their keys touch, so
+CoW-only tables skip the mask entirely. Compaction is the rewrite point
+that re-materializes masked state and sheds the flag where possible.
+
 Tombstone persistence: deleted keys are retained as hidden-flagged rows
 (``_deleted = true``) carrying their ``(_commit_lsn, _op_seq)``, because a
 stale out-of-order update can arrive in a *later* batch than the delete it
@@ -53,6 +65,11 @@ from pyspark.sql.types import StructType
 from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, can_widen, relax_nullability
 
 HIDDEN_DELETED = "_deleted"
+
+# MoR mask side of the read join rides a broadcast up to this many keys
+# (~12B/key -> tens of MB); beyond it AQE plans a shuffled hash join.
+# Compaction (table/maintenance.py) is what keeps the mor backlog bounded.
+MASK_BROADCAST_MAX_ROWS = 4_000_000
 
 
 class TableCommitError(RuntimeError):
@@ -138,6 +155,10 @@ class LakeTable:
         # driver-side serial fraction across a long replay (round-1 scaling
         # post-mortem)
         self._snap_cache: dict[int, dict] = {}
+        # path -> first snapshot id referencing it, for legacy file entries
+        # that predate the per-entry schema_version/added_at tags
+        # (see _first_snapshot_of)
+        self._first_snap_cache: dict[str, int] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -202,6 +223,34 @@ class LakeTable:
         if fids is None:
             fids = {f["name"]: i for i, f in enumerate(snap["schema"]["fields"])}
         return fids
+
+    def _first_snapshot_of(self, path: str) -> int:
+        """Earliest snapshot id referencing a path — the commit that added
+        the file. Recovers both missing per-entry tags on legacy (pre-tag)
+        entries: ``schema_version`` (what the writer called its columns —
+        without it a later rename would skip the field-id mapping and the
+        old-name column would silently read NULL) and ``added_at`` (the MoR
+        mask ordering). Returns 0 for an unreferenced path (a synthetic
+        caller-built entry): pre-tag code predates both renames and MoR."""
+        cached = self._first_snap_cache.get(path)
+        if cached is not None:
+            return cached
+        sid = 0
+        for s in self.snapshots():
+            if any(f["path"] == path for f in s["files"]):
+                sid = s["snapshot_id"]
+                break
+        self._first_snap_cache[path] = sid
+        return sid
+
+    def _untagged_version(self, path: str) -> int:
+        return self.snapshot(self._first_snapshot_of(path))["schema_version"]
+
+    def _entry_seq(self, f: dict) -> int:
+        """Commit order of a file entry: ``added_at`` (stamped by commit()),
+        falling back to the first snapshot referencing it."""
+        seq = f.get("added_at")
+        return seq if seq is not None else self._first_snapshot_of(f["path"])
 
     def _names_at_version(self, version: int) -> dict[int, str] | None:
         """field id -> name under a given schema_version (what a file written
@@ -272,13 +321,18 @@ class LakeTable:
             df = df.withColumn(HIDDEN_DELETED, F.lit(None).cast("boolean"))
             return self._project(df, schema)
         target_names = {fid: name for name, fid in self.field_ids(snap["snapshot_id"]).items()}
-        groups: dict[int | None, list[str]] = {}
+        groups: dict[int, list[str]] = {}
         for f in file_entries:
-            groups.setdefault(f.get("schema_version"), []).append(f["path"])
+            sv = f.get("schema_version")
+            if sv is None:
+                # legacy entry from a pre-tag commit: recover the version
+                # from commit history so renames still map its columns
+                sv = self._untagged_version(f["path"])
+            groups.setdefault(sv, []).append(f["path"])
         parts = []
-        for sv in sorted(groups, key=lambda v: (-1 if v is None else v)):
+        for sv in sorted(groups):
             raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(groups[sv]))
-            writer_names = self._names_at_version(sv) if sv is not None else None
+            writer_names = self._names_at_version(sv)
             if writer_names:
                 # ONE simultaneous select, not sequential withColumnRenamed:
                 # a rename chain may reuse a name another field held at
@@ -295,7 +349,43 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return self._apply_mor_masks(out, file_entries, snap)
+
+    def _apply_mor_masks(self, out: DataFrame, file_entries: list[dict], snap: dict) -> DataFrame:
+        """Drop rows superseded by a newer mor-flagged file's keys (module
+        docstring "Merge-on-read"). The mask is ONE column-pruned scan of
+        the mor files' doc_id columns (max added_at per key), broadcast when
+        small; rows keep iff their file's commit order >= the key's newest
+        mor commit. Mask keys always come from the FULL snapshot, not the
+        loaded subset — a caller loading a non-range-closed subset (e.g.
+        compaction's small-file set) must still see newer versions that live
+        in files outside it. No-op (zero extra plan nodes) on CoW-only
+        snapshots, since copy-on-write removes every file its keys touch."""
+        mor = [f for f in snap["files"] if f.get("mor")]
+        if not mor:
+            return out
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        pairs: list = []
+        for f in file_entries:
+            pairs += [F.lit(os.path.basename(f["path"])), F.lit(self._entry_seq(f))]
+        out = out.withColumn("_fseq", F.element_at(F.create_map(*pairs), fname))
+        mpairs: list = []
+        for f in mor:
+            mpairs += [F.lit(os.path.basename(f["path"])), F.lit(self._entry_seq(f))]
+        mask = (
+            self.spark.read.parquet(*sorted(f["path"] for f in mor))
+            .select(F.col("doc_id").alias("_mkey"))
+            .withColumn("_mseq", F.element_at(F.create_map(*mpairs), fname))
+            .groupBy("_mkey")
+            .agg(F.max("_mseq").alias("_mseq"))
+        )
+        if sum(f["rows"] for f in mor) <= MASK_BROADCAST_MAX_ROWS:
+            mask = F.broadcast(mask)
+        return (
+            out.join(mask, out["doc_id"] == mask["_mkey"], "left")
+            .where(F.col("_mseq").isNull() | (F.col("_fseq") >= F.col("_mseq")))
+            .drop("_fseq", "_mkey", "_mseq")
+        )
 
     def read(
         self,
@@ -399,13 +489,22 @@ class LakeTable:
         temp-write + fsync + link, so a visible file is always complete)
         and the HEAD pointer update. Without this, the orphaned snapshot id
         would block every later writer's create-exclusive commit."""
-        head = self.head_id()
-        advanced = head
-        while os.path.exists(self._commit_path(advanced + 1)):
-            advanced += 1
-        if advanced != head:
-            _atomic_write_text(os.path.join(self.meta_dir, "HEAD"), str(advanced))
-        return advanced
+        while True:
+            head = self.head_id()
+            advanced = head
+            while os.path.exists(self._commit_path(advanced + 1)):
+                advanced += 1
+            if advanced == head:
+                return head
+            # Re-read HEAD immediately before writing and only ever move it
+            # FORWARD: without this, writer B (recovered head=4) racing
+            # writer A (just committed and wrote HEAD=5) could set HEAD back
+            # to 4 — harmless for correctness (commit files are immutable and
+            # the next recovery re-rolls) but readers would see a stale head.
+            if self.head_id() < advanced:
+                _atomic_write_text(os.path.join(self.meta_dir, "HEAD"), str(advanced))
+            # loop: a commit that landed during the write is picked up by the
+            # rescan; terminates when the scan finds nothing newer
 
     def commit(
         self,
@@ -429,8 +528,12 @@ class LakeTable:
             raise TableCommitError(f"concurrent commit: head={parent}, expected={expect_parent}")
         psnap = self.snapshot(parent)
         remove_paths = remove_paths or set()
-        files = [f for f in psnap["files"] if f["path"] not in remove_paths] + list(add_files)
         sid = parent + 1
+        # stamp commit order on new entries (the MoR mask ordering; also the
+        # rename fallback for entries whose tags a legacy writer stripped)
+        files = [f for f in psnap["files"] if f["path"] not in remove_paths] + [
+            {**f, "added_at": f.get("added_at", sid)} for f in add_files
+        ]
         commit = {
             "snapshot_id": sid,
             "parent_id": parent,

@@ -197,9 +197,13 @@ def test_chunk_count_formula_matches_reference_loop():
     """Property check (pure Python, exhaustive over a grid): the Catalyst
     kernel's closed-form chunk ids — 0..min(ceil((n-L)/S), ceil(n/S)-1) for
     n > L, else the single chunk 0 — equal the imperative chunking loop's
-    emissions for every (n, seq_len, stride) combination."""
+    emissions for every (n, seq_len, stride) combination. A zero-length doc
+    emits ZERO chunks (the SQL oracle's range(ceil(n/S)) contract — both
+    engine kernels filter n == 0 out)."""
 
     def loop_chunks(n: int, seq_len: int, stride: int) -> list[int]:
+        if n == 0:
+            return []
         if n <= seq_len:
             return [0]
         out, cid = [], 0
@@ -213,6 +217,8 @@ def test_chunk_count_formula_matches_reference_loop():
         return out
 
     def formula_chunks(n: int, seq_len: int, stride: int) -> list[int]:
+        if n == 0:
+            return []
         if n <= seq_len:
             return [0]
         k_tail = (n - seq_len + stride - 1) // stride

