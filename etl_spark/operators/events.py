@@ -93,3 +93,31 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max(F.unix_timestamp("ts")).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Native ``session_window`` formulation of :func:`sessionize` — the
+    form that runs INCREMENTALLY under Structured Streaming (state-store
+    session merging; append mode emits a session once the watermark passes
+    its close).
+
+    Session identity differs from the batch twin only in labeling: the
+    batch op numbers sessions per user (an ordinal no append-mode stream
+    can know), so this emits the session BOUNDS instead. ``session_window``
+    defines window.end as last_event + gap; subtracting the gap restores
+    the batch op's ``max(ts)`` semantics, so per (user_id, session_start,
+    session_end, n_events) the two are row-for-row equal (asserted in
+    tests/test_streaming_window.py)."""
+    gap = gap_minutes * 60
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            (F.unix_timestamp(F.col("w.end")) - gap).alias("session_end"),
+            "n_events",
+        )
+    )

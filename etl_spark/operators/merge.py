@@ -284,7 +284,49 @@ def _merge_attempt(
         ]
         return df.select(*sel)
 
-    if target is not None:
+    if use_mor and target is not None:
+        # MoR fast resolve: the winners file takes its payload from the
+        # CHANGE rows, so the target is needed only to decide who wins —
+        # a column-pruned scan of (doc_id, version columns), never the
+        # token payload. Both joins broadcast batch-sized sides: a semi-join
+        # filters the narrow target scan to batch keys, then the version
+        # compare joins change rows to their stored version. No table
+        # payload crosses the wire; write amplification AND read volume are
+        # batch-sized.
+        small_batch = n_changes is not None and n_changes <= max_broadcast_rows
+        keys = dedup.select("doc_id")
+        tgtv = target.select("doc_id", HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED).join(
+            F.broadcast(keys) if small_batch else keys, "doc_id", "left_semi"
+        )
+        c = dedup.alias("c")
+        t = tgtv.alias("t")
+        joined = c.join(
+            F.broadcast(t) if small_batch else t,
+            F.col("c.doc_id") == F.col("t.doc_id"),
+            "left_outer",
+        )
+        change_wins = F.col("t.doc_id").isNull() | (
+            (F.col("c.commit_lsn") > F.col(f"t.{HIDDEN_LSN}"))
+            | (
+                (F.col("c.commit_lsn") == F.col(f"t.{HIDDEN_LSN}"))
+                & (F.col("c.op_seq") >= F.col(f"t.{HIDDEN_SEQ}"))
+            )
+        )
+        sel = [F.col("c.doc_id").alias("doc_id")]
+        for name in payload_names:
+            sel.append(F.col(f"c.{name}").alias(name))
+        sel += [
+            F.col("c.commit_lsn").alias(HIDDEN_LSN),
+            F.col("c.op_seq").alias(HIDDEN_SEQ),
+            (F.col("c.op") == "D").alias(HIDDEN_DELETED),
+            F.lit(True).alias("_applied"),
+            (F.col("c.op") == "D").alias("_is_delete"),
+            (~F.coalesce(F.col(f"t.{HIDDEN_DELETED}"), F.lit(False))).alias("_was_live"),
+            F.col("t.doc_id").isNotNull().alias("_existed"),
+            F.col("c.commit_lsn").alias("_chg_lsn"),
+        ]
+        resolved = joined.where(change_wins).select(*sel)
+    elif target is not None:
         # Strategy: the full-outer SortMergeJoin shuffles the touched target
         # payload a second time (range write already shuffles it once). When
         # the deduped batch is small — the common microbatch case — the same
@@ -350,7 +392,11 @@ def _merge_attempt(
     else:
         resolved = _changes_only_rows(dedup)
 
-    resolved = resolved.persist()
+    # NOTE: resolved is deliberately NOT persisted — exactly one action (the
+    # apply write) consumes it, so caching it would only add block-store
+    # serialization of every output partition for nothing (a round-1 relic
+    # from when a separate lineage job re-scanned it; metrics now ride the
+    # write's own Observation).
     stage: str | None = None
     committed = False
     try:
@@ -496,7 +542,6 @@ def _merge_attempt(
             # conflict) leaves orphaned files — remove them; gc_orphans
             # covers only hard crashes that skip this frame entirely
             shutil.rmtree(stage, ignore_errors=True)
-        resolved.unpersist()
         dedup.unpersist()
 
 

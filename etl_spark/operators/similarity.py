@@ -202,45 +202,92 @@ def lsh_topk_multi(
     )
 
 
+def _assign_cells(prepped: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its highest-cosine centroid (ties by centroid
+    id): broadcast the centroid set into an n x n_cells narrow join + a
+    per-vector argmax window."""
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cvid"))
+    return (
+        prepped.join(F.broadcast(cents))
+        .withColumn("ccos", cosine_micro(F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .where(F.col("_rn") == 1)
+        .select("vid", "v", "n2", "cvid")
+    )
+
+
+def kmeans_centroids(prepped: DataFrame, n_cells: int, n_iters: int) -> DataFrame:
+    """Deterministic integer-exact k-means codebook as DataFrame jobs.
+
+    Init: the ``n_cells`` vectors with the lowest ``md5(vid)`` (a uniform,
+    replay-stable sample). Each Lloyd iteration = one assignment join + one
+    per-dimension mean: ``posexplode`` the assigned vectors, aggregate
+    ``floor(sum/count)`` per (cell, dim) — integer floor of an
+    IEEE-deterministic double division, so the trained centroids are
+    bit-identical across engines (the ann_ivf_topk oracle unrolls the same
+    iterations in SQL) — and reassemble the centroid arrays. Cells that
+    attract no vectors drop out (standard Lloyd degeneracy; determinism
+    keeps the drop identical everywhere). Centroid identity stays the
+    seeding vid throughout so assignment tie-breaks are stable.
+
+    Returns (cvid, cv, cn2) — the centroid "CTE" every IVF caller swaps in;
+    the assignment/cell-join/top-k shapes never change."""
+    cents = (
+        prepped.withColumn("_h", F.md5(F.col("vid").cast("string")))
+        .orderBy("_h")
+        .limit(n_cells)
+        .select(F.col("vid").alias("cvid"), F.col("v").alias("cv"), F.col("n2").alias("cn2"))
+    )
+    for _ in range(n_iters):
+        assigned = _assign_cells(prepped, cents)
+        per_dim = (
+            assigned.select("cvid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cvid", "d")
+            .agg(F.floor(F.sum("x").cast("double") / F.count(F.lit(1))).cast("long").alias("nv"))
+        )
+        cents = (
+            per_dim.groupBy("cvid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "nv"))).alias("dn"))
+            .select("cvid", F.transform("dn", lambda t: t["nv"]).alias("cv"))
+            .withColumn("cn2", _norm2(F.col("cv")))
+        )
+    if n_iters > 0:
+        # materialize the codebook (n_cells x dim integers — driver-trivial,
+        # and it ships to executors as a broadcast either way): downstream
+        # consumers join the final centroids several times (assignment +
+        # both pair-join sides) and must not recompute the whole training
+        # lineage each time
+        spark = prepped.sparkSession
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 3,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 2,
 ) -> DataFrame:
-    """IVF-style approximate top-k: a coarse quantizer partitions vectors
+    """IVF approximate top-k: a k-means coarse quantizer partitions vectors
     into cells; candidates are same-cell pairs (never all-pairs).
 
-    The quantizer is data-dependent like a k-means codebook but
-    DETERMINISTIC with no iteration: the ``n_cells`` vectors with the
-    lowest ``md5(vec_id)`` serve as centroids (a uniform, replay-stable
-    sample); every vector joins against the broadcast centroid set (n x
-    n_cells, narrow) and lands in the cell of its highest-cosine centroid
-    (ties by centroid id). Swapping in real k-means centroids changes ONLY
-    the centroid CTE — the assignment join, cell join, and top-k shapes are
-    identical, which is the point of the operator. Recall rises with
-    ``n_cells`` shrinking or an nprobe>1 assignment; output shape =
-    lsh_topk."""
+    The codebook is ``kmeans_centroids`` — md5-seeded init refined by
+    ``n_iters`` integer-exact Lloyd iterations (``n_iters=0`` degenerates
+    to the round-2 sampled quantizer). Every vector joins against the
+    broadcast centroid set (n x n_cells, narrow) and lands in the cell of
+    its highest-cosine centroid (ties by centroid id). Recall rises with
+    training (measured: 2 Lloyd iterations beat the raw sample on the test
+    corpus), with ``n_cells`` shrinking, or with an nprobe>1 assignment;
+    output shape = lsh_topk."""
     from pyspark.sql import Window
 
     prepped = _prepped(embeddings, id_col, vec_col)
-    cents = (
-        prepped.withColumn("_h", F.md5(F.col("vid").cast("string")))
-        .orderBy("_h")
-        .limit(n_cells)
-        .select(
-            F.col("vid").alias("cvid"), F.col("v").alias("cv"), F.col("n2").alias("cn2")
-        )
-    )
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cvid"))
-    assigned = (
-        prepped.join(F.broadcast(cents))
-        .withColumn("ccos", cosine_micro(F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
-        .select("vid", "v", "n2", F.col("cvid").alias("cell"))
-    )
+    cents = kmeans_centroids(prepped, n_cells, n_iters)
+    assigned = _assign_cells(prepped, cents).withColumnRenamed("cvid", "cell")
     a = assigned.alias("a")
     b = assigned.alias("b")
     pairs = (

@@ -165,6 +165,42 @@ def q_cdc_replay_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "value_cents", "source")
 
 
+@register("cdc_replay_merge_mor", _REPLAY_ORACLE)
+def q_cdc_replay_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay through MERGE-ON-READ epochs (merge_mode='mor': each
+    epoch writes one winners/mask file, rewrites nothing — table.py
+    docstring), then a full-table compaction that applies and sheds the
+    masks. Attests the three MoR invariants end-to-end: masked reads equal
+    CoW state, out-of-order/tombstone events resolve across mask layers,
+    and the compaction rewrite point does not resurrect superseded rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from etl_spark.table.maintenance import compact
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_replay_mor_")
+    table = LakeTable.create_if_absent(spark, root, schema)
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    epochs = [
+        feed.where(F.col("commit_lsn") <= cut1),
+        feed.where((F.col("commit_lsn") > cut1) & (F.col("commit_lsn") <= cut2)),
+        feed.where(F.col("commit_lsn") > cut2),
+    ]
+    for i, ep in enumerate(epochs):
+        merge_batch(table, ep, epoch=i, merge_mode="mor")
+    merge_batch(table, epochs[1], epoch=1, merge_mode="mor")  # fenced no-op
+    compact(table, small_file_rows=1 << 60)  # full compaction: sheds all masks
+    return table.read().select("doc_id", "value_cents", "source")
+
+
 @register("cdc_replay_merge_salted", _REPLAY_ORACLE)
 def q_cdc_replay_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same replay through the salted hot-key dedup path (north rule's skew
@@ -1249,17 +1285,52 @@ _COS_PC_SQL = (
 )
 
 
+_IVF_ITERS = 2
+
+
+def _ivf_kmeans_cents_sql(n_iters: int = _IVF_ITERS, n_cells: int = 16) -> str:
+    """Unrolled integer-exact Lloyd iterations mirroring
+    operators/similarity.kmeans_centroids: per-(cell, dim) mean is
+    ``floor(sum / count)`` on an IEEE double quotient of exact integers, so
+    centroids (and everything downstream) are bit-identical across
+    engines."""
+    parts = [
+        f"cents0 AS (SELECT vid AS cvid, v AS cv, n2 AS cn2 FROM pn "
+        f"ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT {n_cells})"
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"a{i} AS (SELECT p.vid, p.v, c.cvid, {_COS_PC_SQL} AS ccos "
+            f"FROM pn p CROSS JOIN cents{i} c)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT vid, v, cvid FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cvid ASC) AS rn "
+            f"FROM a{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"e{i} AS (SELECT cvid, d, CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS nv "
+            f"FROM (SELECT cvid, unnest(v) AS x, unnest(range(len(v))) AS d FROM s{i}) "
+            f"GROUP BY cvid, d)"
+        )
+        parts.append(
+            f"cents{i + 1} AS (SELECT cvid, cv, "
+            f"CAST(list_sum(list_transform(cv, y -> y * y)) AS BIGINT) AS cn2 "
+            f"FROM (SELECT cvid, list(nv ORDER BY d) AS cv FROM e{i} GROUP BY cvid))"
+        )
+    return ",\n    ".join(parts)
+
+
 @register(
     "ann_ivf_topk",
     f"""
     WITH {_EMB_PREP_SQL},
-    cents AS (SELECT vid AS cvid, v AS cv, n2 AS cn2 FROM pn
-              ORDER BY md5(CAST(vid AS VARCHAR)) LIMIT 16),
-    assign0 AS (SELECT p.vid, p.v, p.n2, c.cvid, {_COS_PC_SQL} AS ccos
-                FROM pn p CROSS JOIN cents c),
+    {_ivf_kmeans_cents_sql()},
+    af AS (SELECT p.vid, p.v, p.n2, c.cvid, {_COS_PC_SQL} AS ccos
+           FROM pn p CROSS JOIN cents{_IVF_ITERS} c),
     assigned AS (SELECT vid, v, n2, cvid AS cell
                  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cvid ASC) AS rn
-                       FROM assign0)
+                       FROM af)
                  WHERE rn = 1),
     pairs AS (SELECT a.vid AS vec_id, b.vid AS neighbor_id, {_COS_SQL} AS cos_micro
               FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid <> b.vid),
@@ -1269,11 +1340,12 @@ _COS_PC_SQL = (
     """,
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-3 (operators/similarity.ivf_topk): a
-    deterministic 16-centroid coarse quantizer assigns each vector to its
-    best cell; candidates are same-cell pairs — the inverted-file join
-    shape, swap-ready for real k-means centroids."""
-    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3, n_cells=16)
+    """IVF approximate top-3 (operators/similarity.ivf_topk): a 16-centroid
+    k-means codebook — md5-seeded init + {_IVF_ITERS} integer-exact Lloyd
+    iterations as DataFrame jobs — assigns each vector to its best cell;
+    candidates are same-cell pairs, the inverted-file join shape. The
+    oracle unrolls the identical iterations in SQL."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3, n_cells=16, n_iters=_IVF_ITERS)
 
 
 _LSH_MULTI_TABLES = 3
@@ -1814,6 +1886,7 @@ _DEFERRED = (
     "cdc_replay_merge_salted",
     "tok_truncate_eos",
     "tok_clamp_unk",
+    "tpch_rollup_pricing",  # near-twin of tpch_q1_pricing (same aggregate, +rollup)
 )
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEFERRED},
