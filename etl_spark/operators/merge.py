@@ -392,11 +392,16 @@ def _merge_attempt(
     else:
         resolved = _changes_only_rows(dedup)
 
-    # NOTE: resolved is deliberately NOT persisted — exactly one action (the
-    # apply write) consumes it, so caching it would only add block-store
-    # serialization of every output partition for nothing (a round-1 relic
-    # from when a separate lineage job re-scanned it; metrics now ride the
-    # write's own Observation).
+    # Although only one ACTION consumes resolved, the range write evaluates
+    # it TWICE — repartitionByRange's boundary-sampling pass executes the
+    # exchange child before the write tasks do — so the CoW path (payload-
+    # heavy resolve join) persists it and the sampler materializes the
+    # cache for the write. The MoR path skips the cache: its resolve is a
+    # pair of batch-sized broadcast joins, cheaper to recompute than to
+    # serialize through the block store.
+    persisted = not use_mor
+    if persisted:
+        resolved = resolved.persist()
     stage: str | None = None
     committed = False
     try:
@@ -542,6 +547,8 @@ def _merge_attempt(
             # conflict) leaves orphaned files — remove them; gc_orphans
             # covers only hard crashes that skip this frame entirely
             shutil.rmtree(stage, ignore_errors=True)
+        if persisted:
+            resolved.unpersist()
         dedup.unpersist()
 
 
