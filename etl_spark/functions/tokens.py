@@ -246,14 +246,18 @@ def pack_sequences(
 
     spark = df.sparkSession
     num_partitions = max(2, spark.sparkContext.defaultParallelism)
-    # narrow (id, n_tok) projection; persisted because both the local-cumsum
-    # pass and the per-partition totals read it (12B/row — ContextCleaner
-    # unpersists when the plan is released)
+    # narrow (id, n_tok) projection, persisted BELOW the range exchange:
+    # repartitionByRange's boundary sampler evaluates the exchange child
+    # once before the map stage does, so an un-cached arbitrarily-expensive
+    # upstream (e.g. the vocab-encode chain) would run twice — measured 3x
+    # slower on tok_pack_sequences. The two downstream consumers (local
+    # cumsum, per-partition totals) share the exchange via AQE stage reuse
+    # either way. The cache outlives this function by design (the caller's
+    # action consumes it); the ContextCleaner reclaims it with the plan.
     sized = (
-        df.select(F.col(id_col), F.size(tokens_col).alias("_n"))
+        df.select(F.col(id_col), F.size(tokens_col).alias("_n")).persist()
         .repartitionByRange(num_partitions, id_col)
         .withColumn("_part", F.spark_partition_id())
-        .persist()
     )
     w_local = Window.partitionBy("_part").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
