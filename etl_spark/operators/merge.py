@@ -71,7 +71,15 @@ class MergeResult:
 def _normalize_changes(schema: StructType, changes: DataFrame) -> DataFrame:
     """Project the (possibly older/newer-schema) batch onto the table's
     current schema: missing columns -> null, types cast (covers widen)."""
-    cols = [F.col("doc_id"), F.col("commit_lsn"), F.col("op_seq"), F.col("op")]
+    # pin the key/version/op types: they become the hidden columns' physical
+    # parquet types, which the explicit-schema reader (table.py
+    # _physical_schema_at) expects to be uniform across every file
+    cols = [
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("commit_lsn").cast("long").alias("commit_lsn"),
+        F.col("op_seq").cast("int").alias("op_seq"),
+        F.col("op").cast("string").alias("op"),
+    ]
     for f in schema.fields:
         if f.name == "doc_id":
             continue
@@ -295,8 +303,25 @@ def _merge_attempt(
         # batch-sized.
         small_batch = n_changes is not None and n_changes <= max_broadcast_rows
         keys = dedup.select("doc_id")
-        tgtv = target.select("doc_id", HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED).join(
-            F.broadcast(keys) if small_batch else keys, "doc_id", "left_semi"
+        # UNMASKED narrow read + per-key version argmax, instead of the
+        # file-level mask join: by the LWW invariant a change only lands by
+        # beating the stored version, so the max (_commit_lsn, _op_seq) row
+        # per key IS the current state. Skipping _apply_mor_masks here
+        # drops the per-epoch mask scan + broadcast (which grow with the
+        # mor backlog) from the hot path; the agg below runs over the
+        # batch-keyed slice only (semi-join first), so it's batch-sized.
+        tgtv = (
+            table.load_files(touched_entries, snap, apply_masks=False)
+            .select("doc_id", HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED)
+            .join(F.broadcast(keys) if small_batch else keys, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.max(F.struct(HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED)).alias("_v"))
+            .select(
+                "doc_id",
+                F.col(f"_v.{HIDDEN_LSN}").alias(HIDDEN_LSN),
+                F.col(f"_v.{HIDDEN_SEQ}").alias(HIDDEN_SEQ),
+                F.col(f"_v.{HIDDEN_DELETED}").alias(HIDDEN_DELETED),
+            )
         )
         c = dedup.alias("c")
         t = tgtv.alias("t")

@@ -173,8 +173,10 @@ def expire_tombstones(table: LakeTable, low_watermark_lsn: int, target_rows_per_
     expirable = F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)) & (
         F.col(HIDDEN_LSN) <= low_watermark_lsn
     )
+    # explicit narrow schema (uniform across every schema_version: doc_id is
+    # never renamed, hidden cols are constant) — no mergeSchema footer job
     flagged_df = (
-        spark.read.option("mergeSchema", "true")
+        spark.read.schema(f"doc_id string, {HIDDEN_LSN} long, {HIDDEN_DELETED} boolean")
         .parquet(*paths)
         .withColumn("_file", F.input_file_name())
         .where(expirable)

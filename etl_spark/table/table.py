@@ -252,13 +252,47 @@ class LakeTable:
         seq = f.get("added_at")
         return seq if seq is not None else self._first_snapshot_of(f["path"])
 
+    def _snapshot_at_version(self, version: int) -> dict | None:
+        """Earliest snapshot whose live schema carries a given
+        schema_version."""
+        for s in self.snapshots():
+            if s["schema_version"] == version:
+                return s
+        return None
+
     def _names_at_version(self, version: int) -> dict[int, str] | None:
         """field id -> name under a given schema_version (what a file written
         under that version calls its columns)."""
-        for s in self.snapshots():
-            if s["schema_version"] == version:
-                return {fid: name for name, fid in self.field_ids(s["snapshot_id"]).items()}
-        return None
+        s = self._snapshot_at_version(version)
+        if s is None:
+            return None
+        return {fid: name for name, fid in self.field_ids(s["snapshot_id"]).items()}
+
+    def _physical_schema_at(self, version: int) -> StructType | None:
+        """The uniform on-disk schema of data files written under a
+        schema_version: that version's table schema (relaxed — writers cast
+        through relax_nullability) plus the hidden LWW columns. Letting the
+        reader use this EXPLICIT schema instead of ``mergeSchema`` matters:
+        mergeSchema launches a footer-scan job at plan-CONSTRUCTION time on
+        every load_files call — a per-epoch driver barrier that also grows
+        with file count."""
+        from pyspark.sql.types import StructField
+
+        s = self._snapshot_at_version(version)
+        if s is None:
+            return None
+        fields = [
+            StructField(f.name, relax_nullability(f.dataType), nullable=True)
+            for f in StructType.fromJson(s["schema"]).fields
+        ]
+        from pyspark.sql.types import BooleanType, IntegerType, LongType
+
+        fields += [
+            StructField(HIDDEN_LSN, LongType(), nullable=True),
+            StructField(HIDDEN_SEQ, IntegerType(), nullable=True),
+            StructField(HIDDEN_DELETED, BooleanType(), nullable=True),
+        ]
+        return StructType(fields)
 
     def schema(self, sid: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(sid)["schema"])
@@ -303,7 +337,7 @@ class LakeTable:
             proj.append((F.col(h) if h in df.columns else F.lit(None)).cast(t).alias(h))
         return df.select(*proj)
 
-    def load_files(self, file_entries: list[dict], snap: dict) -> DataFrame:
+    def load_files(self, file_entries: list[dict], snap: dict, apply_masks: bool = True) -> DataFrame:
         """Read a set of file entries reconciled to ``snap``'s schema,
         including hidden columns and tombstone rows (callers filter).
 
@@ -312,7 +346,14 @@ class LakeTable:
         column names are mapped to the snapshot's names through the stable
         field ids, then all groups are projected to the versioned schema and
         unioned. With no renames in the history every group's mapping is the
-        identity and this degenerates to one mergeSchema read."""
+        identity and this degenerates to one mergeSchema read.
+
+        ``apply_masks=False`` skips the MoR superseded-row masking and may
+        return MULTIPLE version rows per key. Only for callers that reduce
+        by version themselves (the merge resolve takes the per-key max
+        ``(_commit_lsn, _op_seq)``, which is the current state by the LWW
+        invariant — a change only ever lands by beating the stored
+        version, so version order and commit order agree per key)."""
         schema = StructType.fromJson(snap["schema"])
         if not file_entries:
             df = self.spark.createDataFrame([], StructType(list(schema.fields)))
@@ -331,7 +372,12 @@ class LakeTable:
             groups.setdefault(sv, []).append(f["path"])
         parts = []
         for sv in sorted(groups):
-            raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(groups[sv]))
+            phys = self._physical_schema_at(sv)
+            if phys is not None:
+                # explicit schema: no inference/mergeSchema footer job
+                raw = self.spark.read.schema(phys).parquet(*sorted(groups[sv]))
+            else:
+                raw = self.spark.read.option("mergeSchema", "true").parquet(*sorted(groups[sv]))
             writer_names = self._names_at_version(sv)
             if writer_names:
                 # ONE simultaneous select, not sequential withColumnRenamed:
@@ -349,7 +395,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return self._apply_mor_masks(out, file_entries, snap)
+        return self._apply_mor_masks(out, file_entries, snap) if apply_masks else out
 
     def _apply_mor_masks(self, out: DataFrame, file_entries: list[dict], snap: dict) -> DataFrame:
         """Drop rows superseded by a newer mor-flagged file's keys (module
