@@ -410,6 +410,22 @@ class LakeTable:
         mor = [f for f in snap["files"] if f.get("mor")]
         if not mor:
             return out
+        # prune the mask to the loaded subset's key envelope: every loaded
+        # row's key lies within [lo, hi] (file stats), so mask keys outside
+        # it cannot match — a point/range read masks against O(overlapping)
+        # winners files, not all of them. Skipped when any loaded file
+        # lacks stats (envelope unknown).
+        lo = hi = None
+        if file_entries and all(f["min_key"] is not None for f in file_entries):
+            lo = min(f["min_key"] for f in file_entries)
+            hi = max(f["max_key"] for f in file_entries)
+            mor = [
+                f
+                for f in mor
+                if f["min_key"] is None or (f["max_key"] >= lo and f["min_key"] <= hi)
+            ]
+            if not mor:
+                return out
         fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
         pairs: list = []
         for f in file_entries:
@@ -418,10 +434,15 @@ class LakeTable:
         mpairs: list = []
         for f in mor:
             mpairs += [F.lit(os.path.basename(f["path"])), F.lit(self._entry_seq(f))]
+        mask_rows = self.spark.read.schema("doc_id string").parquet(
+            *sorted(f["path"] for f in mor)
+        )
+        if lo is not None:
+            # residual predicate pushed into the winners-file scan
+            mask_rows = mask_rows.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
         mask = (
-            self.spark.read.parquet(*sorted(f["path"] for f in mor))
-            .select(F.col("doc_id").alias("_mkey"))
-            .withColumn("_mseq", F.element_at(F.create_map(*mpairs), fname))
+            mask_rows.select(F.col("doc_id").alias("_mkey"), F.input_file_name().alias("_f"))
+            .withColumn("_mseq", F.element_at(F.create_map(*mpairs), F.element_at(F.split("_f", "/"), -1)))
             .groupBy("_mkey")
             .agg(F.max("_mseq").alias("_mseq"))
         )

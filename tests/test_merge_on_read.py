@@ -180,6 +180,32 @@ def test_expire_tombstones_kills_victims_with_the_mask(spark, tmp_table_dir):
     assert table.read(include_hidden=True, include_deleted=True).where("_deleted").count() == 0
 
 
+def test_mor_read_range_with_pruned_masks(spark, tmp_table_dir):
+    """Range reads apply masks correctly whether the winners files overlap
+    the requested range (superseded/tombstoned rows must not surface) or
+    not (the mask prunes away entirely)."""
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _bulk(spark, 2000), epoch=0)
+    merge_batch(
+        table,
+        _batch(
+            spark,
+            [
+                ("k00100", 99999, 0, "U", -1, "m"),
+                ("k00101", 99998, 0, "D", None, None),
+            ],
+        ),
+        epoch=1,
+        merge_mode="mor",
+    )
+    # overlapping range: new version wins, tombstoned key vanishes
+    got = {r["doc_id"]: r["value_cents"] for r in table.read_range("k00099", "k00102").collect()}
+    assert got == {"k00099": 990, "k00100": -1, "k00102": 1020}
+    # disjoint range: mask prunes to nothing, plain rows come back
+    got2 = {r["doc_id"]: r["value_cents"] for r in table.read_range("k01500", "k01502").collect()}
+    assert got2 == {"k01500": 15000, "k01501": 15010, "k01502": 15020}
+
+
 def test_mor_time_travel_and_diff(spark, tmp_table_dir):
     """Snapshot reads and the CDC-out diff must see masked state at every
     snapshot boundary."""
