@@ -202,10 +202,13 @@ def lsh_topk_multi(
     )
 
 
-def _assign_cells(prepped: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each vector to its highest-cosine centroid (ties by centroid
-    id): broadcast the centroid set into an n x n_cells narrow join + a
-    per-vector argmax window."""
+def _assign_cells(prepped: DataFrame, cents: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` highest-cosine centroids (ties
+    by centroid id): broadcast the centroid set into an n x n_cells narrow
+    join + a per-vector top-nprobe window. nprobe=1 is the INDEX-side
+    assignment (each vector lives in one cell); nprobe>1 is the QUERY-side
+    probe set (the standard IVF recall knob — a query checks its runner-up
+    cells too, cost ~ nprobe x bucket occupancy, still never all-pairs)."""
     from pyspark.sql import Window
 
     w_assign = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cvid"))
@@ -213,7 +216,7 @@ def _assign_cells(prepped: DataFrame, cents: DataFrame) -> DataFrame:
         prepped.join(F.broadcast(cents))
         .withColumn("ccos", cosine_micro(F.col("v"), F.col("cv"), F.col("n2"), F.col("cn2")))
         .withColumn("_rn", F.row_number().over(w_assign))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= nprobe)
         .select("vid", "v", "n2", "cvid")
     )
 
@@ -271,6 +274,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 2,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: a k-means coarse quantizer partitions vectors
     into cells; candidates are same-cell pairs (never all-pairs).
@@ -281,15 +285,22 @@ def ivf_topk(
     broadcast centroid set (n x n_cells, narrow) and lands in the cell of
     its highest-cosine centroid (ties by centroid id). Recall rises with
     training (measured: 2 Lloyd iterations beat the raw sample on the test
-    corpus), with ``n_cells`` shrinking, or with an nprobe>1 assignment;
-    output shape = lsh_topk."""
+    corpus), with ``n_cells`` shrinking, or with ``nprobe`` > 1 (the query
+    side also checks its runner-up cells — index side stays single-cell, so
+    candidates grow ~linearly in nprobe, never toward all-pairs); output
+    shape = lsh_topk."""
     from pyspark.sql import Window
 
     prepped = _prepped(embeddings, id_col, vec_col)
     cents = kmeans_centroids(prepped, n_cells, n_iters)
-    assigned = _assign_cells(prepped, cents).withColumnRenamed("cvid", "cell")
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    index = _assign_cells(prepped, cents).withColumnRenamed("cvid", "cell")
+    probe = (
+        index
+        if nprobe == 1
+        else _assign_cells(prepped, cents, nprobe=nprobe).withColumnRenamed("cvid", "cell")
+    )
+    a = probe.alias("a")
+    b = index.alias("b")
     pairs = (
         a.join(b, on="cell")
         .where(F.col("a.vid") != F.col("b.vid"))

@@ -1326,14 +1326,13 @@ def _ivf_kmeans_cents_sql(n_iters: int = _IVF_ITERS, n_cells: int = 16) -> str:
     f"""
     WITH {_EMB_PREP_SQL},
     {_ivf_kmeans_cents_sql()},
-    af AS (SELECT p.vid, p.v, p.n2, c.cvid, {_COS_PC_SQL} AS ccos
+    af AS (SELECT p.vid, p.v, p.n2, c.cvid, {_COS_PC_SQL} AS ccos,
+                  row_number() OVER (PARTITION BY p.vid ORDER BY {_COS_PC_SQL} DESC, c.cvid ASC) AS arn
            FROM pn p CROSS JOIN cents{_IVF_ITERS} c),
-    assigned AS (SELECT vid, v, n2, cvid AS cell
-                 FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cvid ASC) AS rn
-                       FROM af)
-                 WHERE rn = 1),
+    assigned AS (SELECT vid, v, n2, cvid AS cell FROM af WHERE arn = 1),
+    probes AS (SELECT vid, v, n2, cvid AS cell FROM af WHERE arn <= 2),
     pairs AS (SELECT a.vid AS vec_id, b.vid AS neighbor_id, {_COS_SQL} AS cos_micro
-              FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vid <> b.vid),
+              FROM probes a JOIN assigned b ON a.cell = b.cell AND a.vid <> b.vid),
     ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos_micro DESC, neighbor_id ASC) AS INTEGER) AS rank
                FROM pairs)
     SELECT vec_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 3
@@ -1343,9 +1342,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-3 (operators/similarity.ivf_topk): a 16-centroid
     k-means codebook — md5-seeded init + {_IVF_ITERS} integer-exact Lloyd
     iterations as DataFrame jobs — assigns each vector to its best cell;
-    candidates are same-cell pairs, the inverted-file join shape. The
+    queries probe their top-2 cells (nprobe), candidates are
+    probe-cell x index-cell pairs — the inverted-file join shape. The
     oracle unrolls the identical iterations in SQL."""
-    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), k=3, n_cells=16, n_iters=_IVF_ITERS)
+    return SIM.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, n_cells=16, n_iters=_IVF_ITERS, nprobe=2
+    )
 
 
 _LSH_MULTI_TABLES = 3

@@ -104,6 +104,62 @@ def compact(table: LakeTable, small_file_rows: int = 100_000, target_rows_per_fi
     )
 
 
+def compact_mor(table: LakeTable, target_rows_per_file: int = 1_000_000) -> int | None:
+    """Targeted MoR-debt compaction: rewrite the winners (mask) files PLUS
+    every file whose key range overlaps one of them, through the masked
+    loader, into clean non-mor files. The closure guarantees the rewrite
+    set holds every older copy of every masked key (a file containing key
+    X has a range covering X, and so does the winners file masking X — the
+    ranges intersect), so the output can shed the mor flag without touching
+    the rest of the table: O(mask-affected data), not O(table). Returns the
+    new snapshot id, or None if no mor files exist."""
+    snap = table.snapshot()
+    files = snap["files"]
+    mor = [f for f in files if f.get("mor")]
+    if not mor:
+        return None
+    touched = {f["path"] for f in mor}
+    for f in files:
+        if f["path"] in touched:
+            continue
+        if f["min_key"] is None:
+            touched.add(f["path"])  # no stats -> cannot prune
+            continue
+        if any(
+            m["min_key"] is None or (f["max_key"] >= m["min_key"] and f["min_key"] <= m["max_key"])
+            for m in mor
+        ):
+            touched.add(f["path"])
+    entries = [f for f in files if f["path"] in touched]
+    df = table.load_files(entries, snap)
+    return _rewrite(
+        table,
+        df,
+        remove_paths=touched,
+        target_rows_per_file=target_rows_per_file,
+        summary={"maintenance": "compact_mor", "files_in": len(entries)},
+        mor_flag=False,
+    )
+
+
+def maybe_compact_mor(
+    table: LakeTable,
+    max_mor_files: int = 16,
+    max_mor_rows: int = 10_000_000,
+    target_rows_per_file: int = 1_000_000,
+) -> int | None:
+    """Auto-compaction policy for long-running ingest loops: shed the MoR
+    mask backlog once it exceeds either threshold (winners-file count —
+    each adds one entry to every read's mask scan — or total masked-key
+    rows, which bound the mask join's build side). Cheap no-op otherwise;
+    call it after each merge or on a timer."""
+    snap = table.snapshot()
+    mor = [f for f in snap["files"] if f.get("mor")]
+    if len(mor) < max_mor_files and sum(f["rows"] for f in mor) < max_mor_rows:
+        return None
+    return compact_mor(table, target_rows_per_file=target_rows_per_file)
+
+
 def rewrite_table(table: LakeTable, target_rows_per_file: int = 1_000_000) -> int | None:
     """Full rewrite of every live file into a clean range-partitioned,
     one-version-per-key layout — the guaranteed MoR mask-shedding point

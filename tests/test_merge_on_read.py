@@ -162,6 +162,37 @@ def test_compact_small_old_file_under_newer_mor_versions(spark, tmp_table_dir):
     assert table.read().where("doc_id = 'a'").count() == 1
 
 
+def test_compact_mor_sheds_all_masks_without_full_rewrite(spark, tmp_table_dir):
+    """Targeted debt compaction: rewrites only the winners files + their
+    range-overlapping victims, output carries no mor flag, state unchanged,
+    and files outside the closure are untouched."""
+    from etl_spark.table.maintenance import compact_mor, maybe_compact_mor
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _bulk(spark, 2000), epoch=0)
+    for e in range(1, 4):
+        merge_batch(
+            table,
+            _batch(spark, [(f"k0000{e}", 100_000 + e, 0, "U", -e, "m")]),
+            epoch=e,
+            merge_mode="mor",
+        )
+    before = _state(table)
+    untouched_paths = {
+        f["path"] for f in table.files() if not f.get("mor") and f["min_key"] > "k00005"
+    }
+    assert untouched_paths, "test needs files outside the mor key envelope"
+    # below thresholds: policy no-ops
+    assert maybe_compact_mor(table, max_mor_files=16, max_mor_rows=10_000_000) is None
+    # above: sheds every mask
+    sid = maybe_compact_mor(table, max_mor_files=2, target_rows_per_file=1000)
+    assert sid is not None
+    assert not any(f.get("mor") for f in table.files())
+    assert untouched_paths <= {f["path"] for f in table.files()}  # closure was targeted
+    assert _state(table) == before
+    assert compact_mor(table) is None  # nothing left to do
+
+
 def test_expire_tombstones_kills_victims_with_the_mask(spark, tmp_table_dir):
     """Resurrection trap 3: expiring a mor tombstone removes the mask over
     the key's original row — the victim file must be rewritten in the SAME

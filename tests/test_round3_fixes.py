@@ -238,13 +238,15 @@ def test_kmeans_ivf_recall_beats_sampled_quantizer(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {(r["vec_id"], r["neighbor_id"]) for r in SIM.brute_force_topk(emb, k=3).collect()}
     recalls = {}
-    for it in (0, 2):
+    for it, np_ in ((0, 1), (2, 1), (2, 2)):
         approx = {
             (r["vec_id"], r["neighbor_id"])
-            for r in SIM.ivf_topk(emb, k=3, n_cells=16, n_iters=it).collect()
+            for r in SIM.ivf_topk(emb, k=3, n_cells=16, n_iters=it, nprobe=np_).collect()
         }
-        recalls[it] = len(approx & exact) / len(exact)
-    assert recalls[2] >= recalls[0]
+        recalls[(it, np_)] = len(approx & exact) / len(exact)
+    assert recalls[(2, 1)] >= recalls[(0, 1)]  # training helps
+    # probing runner-up cells strictly widens the candidate set
+    assert recalls[(2, 2)] >= recalls[(2, 1)]
 
 
 def test_kmeans_centroids_deterministic(spark, sf_dir):
