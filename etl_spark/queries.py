@@ -539,7 +539,8 @@ def _encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     web text are effectively unbounded distinct strings, so a global
     ``row_number() OVER (ORDER BY w)`` window would be a data-bearing
     single-partition sort (the round-2 verdict's last remaining one). The
-    expensive side (words) still only broadcast-joins against the vocab.
+    vocab join carries no broadcast hint either — AQE broadcasts a small
+    measured vocab and shuffle-joins an unbounded one.
     """
     from etl_spark.functions.tokens import distributed_sorted_rank
 
@@ -549,7 +550,10 @@ def _encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = distributed_sorted_rank(words, "w", out_col="tid")
     return (
-        words.join(F.broadcast(vocab), "w")
+        # no broadcast HINT: the vocabulary is unbounded over web text
+        # (the reason the id-rank is distributed) — AQE broadcasts it when
+        # it measures small and shuffle-joins when it doesn't
+        words.join(vocab, "w")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("pt"))
         .select("doc_id", F.transform("pt", lambda x: x["tid"]).alias("tokens"))
@@ -838,9 +842,9 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document by the log-free TF-IDF analog
     ``score = tf * (1000 * N div df)`` — integer-exact (a real log-IDF is
     not bit-reproducible across engines), same ordering intent. Two hash
-    aggregates (tf, df) + a broadcast of the df side (vocabulary-sized) +
-    a per-doc top-k window partitioned by doc_id — no global window, no
-    all-pairs."""
+    aggregates (tf, df) + a join on the df side (vocabulary-sized, so no
+    forced broadcast — AQE decides) + a per-doc top-k window partitioned
+    by doc_id — no global window, no all-pairs."""
     docs = _t(spark, sf_dir, "documents")
     # metadata-only count (parquet row-group stats — no data scan)
     n_docs = docs.count()
@@ -851,7 +855,9 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist to manage — both consumers share tf's hash exchange, which
     # Catalyst dedupes via ReusedExchange
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "w").select(
+    # df is vocabulary-sized — unbounded over web text, so no broadcast
+    # hint; AQE picks broadcast only when the measured size allows
+    scored = tf.join(df, "w").select(
         "doc_id",
         "w",
         (F.col("tf") * F.expr(f"CAST(1000 * {n_docs} AS BIGINT) div df")).alias("score_milli"),
@@ -912,7 +918,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = survivors.select("doc_id", F.posexplode(T.tokenize_ws("text")).alias("pos", "w"))
     vocab = distributed_sorted_rank(words, "w", out_col="tid")
     enc = (
-        words.join(F.broadcast(vocab), "w")
+        # no broadcast HINT: the vocabulary is unbounded over web text
+        # (the reason the id-rank is distributed) — AQE broadcasts it when
+        # it measures small and shuffle-joins when it doesn't
+        words.join(vocab, "w")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("pt"))
         .select("doc_id", F.transform("pt", lambda x: x["tid"]).alias("tokens"))

@@ -55,11 +55,21 @@ def run_stream_replay(
     max_files_per_trigger: int = 4,
     use_salted_dedup: bool = False,
     timeout_sec: float | None = None,
+    merge_mode: str = "auto",
+    auto_compact_mor: bool = False,
+    max_mor_files: int = 16,
 ) -> StreamReplayReport:
     """Tail the binlog dir and apply every available microbatch exactly-once,
     then stop (Trigger.AvailableNow — drains what exists, leaves the
     checkpoint positioned for the next run). Kill/rerun resumes from the
-    offset log; a replayed epoch no-ops on its fence."""
+    offset log; a replayed epoch no-ops on its fence.
+
+    ``merge_mode='auto'`` lets quiet-feed microbatches take the merge-on-read
+    path; with ``auto_compact_mor`` the tail also sheds the accumulated mask
+    backlog in-line (``maintenance.maybe_compact_mor`` after each applied
+    batch — a metadata-only no-op below the ``max_mor_files`` threshold).
+    Compaction commits carry no fences, so a crash between a compaction and
+    the next offset commit replays only the idempotent merge."""
     table = LakeTable.create_if_absent(spark, table_root, target_schema)
     report = StreamReplayReport()
 
@@ -71,16 +81,22 @@ def run_stream_replay(
             batch_df.drop("lsn_bucket"),
             epoch=batch_id,
             use_salted_dedup=use_salted_dedup,
+            merge_mode=merge_mode,
         )
         report.batches.append(
             {
                 "epoch": batch_id,
                 "applied": res.applied,
+                "mode": res.mode,
                 "rows_upserted": res.rows_upserted,
                 "rows_deleted": res.rows_deleted,
                 "snapshot_id": res.snapshot_id,
             }
         )
+        if auto_compact_mor and res.applied:
+            from etl_spark.table.maintenance import maybe_compact_mor
+
+            maybe_compact_mor(table, max_mor_files=max_mor_files)
 
     stream = (
         spark.readStream.schema(src_schema)

@@ -130,3 +130,40 @@ def test_stream_sees_late_files(spark, expected, tmp_table_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_replay_mor_with_inline_compaction(spark, tmp_path):
+    """The tail in forced-MoR mode with in-line debt compaction: every
+    microbatch writes winners-only, the backlog is shed as it crosses the
+    threshold, and the final state equals the batch replay's."""
+    import pyspark.sql.functions as F
+
+    from etl_spark.datagen import BinlogSpec, write_binlog
+    from etl_spark.operators.dedup import lww_dedup
+    from etl_spark.streaming.tail import run_stream_replay
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spark, BinlogSpec(n_events=4000, n_keys=300, seed=17), binlog)
+    report = run_stream_replay(
+        spark,
+        binlog,
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        merge_mode="mor",
+        auto_compact_mor=True,
+        max_mor_files=3,
+    )
+    assert report.applied_batches > 1
+    assert any(b["mode"] == "mor" for b in report.batches)
+
+    from etl_spark.table import LakeTable
+
+    table = LakeTable(spark, str(tmp_path / "tbl"))
+    # backlog stayed below the threshold closure
+    assert sum(1 for f in table.files() if f.get("mor")) <= 3
+    feed = spark.read.parquet(binlog).drop("delivery_pos", "lsn_bucket")
+    expected = lww_dedup(feed).where(F.col("op") != "D").select("doc_id", "tokens", "n_tok", "source")
+    got = table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0 and expected.exceptAll(got).count() == 0
