@@ -12,7 +12,8 @@ Subcommands:
   gen      write a deterministic synthetic binlog (datagen.BinlogSpec knobs)
   replay   batch-replay a binlog dir into a table, one epoch per lsn_bucket
   stream   Structured-Streaming tail (AvailableNow) with checkpoint resume
-  compact  small-file compaction on a table
+  compact  small-file compaction on a table (--mor: targeted winners-file
+           debt compaction that sheds the merge-on-read masks)
   evolve   metadata-only schema evolution: add / widen / rename columns
   lineage  print the table's lineage ledger + exactly-once coverage report
 """
@@ -42,16 +43,29 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--binlog", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--salted", action="store_true", help="use the salted hot-key dedup path")
+    r.add_argument(
+        "--merge-mode",
+        choices=["auto", "cow", "mor"],
+        default="auto",
+        help="copy-on-write, merge-on-read, or auto by touched/batch ratio",
+    )
 
     s = sub.add_parser("stream")
     s.add_argument("--binlog", required=True)
     s.add_argument("--table", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--max-files-per-trigger", type=int, default=4)
+    s.add_argument("--merge-mode", choices=["auto", "cow", "mor"], default="auto")
+    s.add_argument(
+        "--auto-compact-mor",
+        action="store_true",
+        help="shed the winners-file backlog in-line (maybe_compact_mor)",
+    )
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     c.add_argument("--small-file-rows", type=int, default=100_000)
+    c.add_argument("--mor", action="store_true", help="compact the MoR winners files + their victims instead")
 
     ev = sub.add_parser("evolve")
     ev.add_argument("--table", required=True)
@@ -95,12 +109,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(f"{args.binlog}/lsn_bucket={b}"),
                 epoch=b,
                 use_salted_dedup=args.salted,
+                merge_mode=args.merge_mode,
             )
             print(
                 json.dumps(
                     {
                         "epoch": b,
                         "applied": res.applied,
+                        "mode": res.mode,
                         "rows_upserted": res.rows_upserted,
                         "rows_deleted": res.rows_deleted,
                         "snapshot": res.snapshot_id,
@@ -118,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             table_root=args.table,
             checkpoint_dir=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
+            merge_mode=args.merge_mode,
+            auto_compact_mor=args.auto_compact_mor,
         )
         print(
             json.dumps(
@@ -127,10 +145,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact":
-        from etl_spark.table.maintenance import compact
+        from etl_spark.table.maintenance import compact, compact_mor
 
         table = LakeTable(spark, args.table)
-        sid = compact(table, small_file_rows=args.small_file_rows)
+        if args.mor:
+            sid = compact_mor(table)
+        else:
+            sid = compact(table, small_file_rows=args.small_file_rows)
         print(json.dumps({"snapshot": sid}))
         return 0
 

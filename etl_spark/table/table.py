@@ -159,6 +159,9 @@ class LakeTable:
         # that predate the per-entry schema_version/added_at tags
         # (see _first_snapshot_of)
         self._first_snap_cache: dict[str, int] = {}
+        # incremental fence ledger (see fences())
+        self._fences_cache: set[tuple[int, int]] = set()
+        self._fences_upto: int = -1
 
     # ------------------------------------------------------------------ DDL
 
@@ -303,11 +306,19 @@ class LakeTable:
     # --------------------------------------------------------------- fences
 
     def fences(self) -> set[tuple[int, int]]:
-        out: set[tuple[int, int]] = set()
-        for s in self.snapshots():
-            for f in s["fences"]:
-                out.add((f["checkpoint_epoch"], f["partition_id"]))
-        return out
+        """Fence ledger as a set, maintained INCREMENTALLY per handle:
+        committed snapshots are immutable, so only snapshots newer than the
+        last scan are folded in. Without this, the per-epoch ``is_fenced``
+        check re-walks every commit — an O(epochs^2) driver serial fraction
+        over a long replay (the same class of cost as the round-2 snapshot
+        JSON cache). Returns the live cached set; callers only test
+        membership."""
+        head = self.head_id()
+        for s in range(self._fences_upto + 1, head + 1):
+            for f in self.snapshot(s)["fences"]:
+                self._fences_cache.add((f["checkpoint_epoch"], f["partition_id"]))
+        self._fences_upto = max(self._fences_upto, head)
+        return self._fences_cache
 
     def fenced_epochs(self) -> set[int]:
         return {e for (e, _p) in self.fences()}

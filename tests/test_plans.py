@@ -126,3 +126,35 @@ def test_tokens_transforms_stay_codegen(spark):
     # "*(n)" is the WholeStageCodegen marker in executedPlan().toString()
     assert "WholeStageCodegen" in plan or "*(" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mor_resolve_target_scan_prunes_payload(spark, tmp_table_dir):
+    """The merge-on-read resolve reads the touched target ONLY for
+    (doc_id, version columns) — the token payload must never reach the scan
+    (winners carry their payload from the change rows). Guarded here on the
+    exact projection the resolve builds over the explicit-schema loader."""
+    import pyspark.sql.functions as F
+
+    from etl_spark.operators.merge import merge_batch
+    from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, TARGET_SCHEMA
+    from etl_spark.table import LakeTable
+    from etl_spark.table.table import HIDDEN_DELETED
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, TARGET_SCHEMA)
+    feed = spark.range(500).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.col("id").alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.lit("U").alias("op"),
+        F.sequence(F.lit(1), F.lit(16)).cast("array<int>").alias("tokens"),
+        F.lit(16).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    merge_batch(table, feed, epoch=0)
+    snap = table.snapshot()
+    narrow = table.load_files(snap["files"], snap, apply_masks=False).select(
+        "doc_id", HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED
+    )
+    plan = _plan(narrow)
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "tokens" not in read_schema and "doc_id" in read_schema
