@@ -12,10 +12,11 @@ each round every vertex adopts the smallest label among itself and its
 neighbors; converges in O(graph diameter) rounds (near-dup clusters are
 shallow, typically 2-4 rounds). The driver loop only checks a per-round
 convergence counter (an aggregate, not data); all data movement is keyed
-shuffles. At web scale the same loop drops in the large-star/small-star
-optimization (Kiveris et al., "Connected Components in MapReduce and
-Beyond") — the round structure and checkpointing seam are identical, so it
-is a swap of the per-round transformation only.
+shuffles. For DEEP graphs, :func:`connected_components_star` implements
+the large-star/small-star alternation (Kiveris et al., "Connected
+Components in MapReduce and Beyond"): O(log diameter) rounds with the
+identical output contract — tested equivalent on random graphs, and it
+collapses a 60-hop chain within a budget where plain propagation raises.
 
 Each round's labels are persisted and the previous round unpersisted;
 ``max_rounds`` bounds runaway graphs.
@@ -87,6 +88,103 @@ def connected_components(
             "round budget — raise max_rounds or switch to large-star/small-star"
         )
     return labels
+
+
+def _canon_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge set in canonical (u > v) orientation, self-loops
+    dropped."""
+    return (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node attaches its strictly-larger neighbors to the
+    minimum of its closed neighborhood. One symmetric groupBy + one keyed
+    join — no all-pairs anywhere."""
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    m = sym.groupBy("a").agg(F.min("b").alias("mb")).select("a", F.least("a", "mb").alias("mm"))
+    out = (
+        sym.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("mm").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node folds its smaller neighbors (and
+    itself) onto its minimum smaller neighbor."""
+    m = e.groupBy("u").agg(F.min("v").alias("mm"))
+    out = (
+        e.join(m, "u")
+        .where(F.col("v") != F.col("mm"))
+        .select(F.col("v").alias("u"), F.col("mm").alias("v"))
+        .unionByName(m.select(F.col("u"), F.col("mm").alias("v")))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components — same output contract as
+    :func:`connected_components` (id, comp = min reachable id), converging
+    in O(log diameter) alternating rounds instead of O(diameter): the
+    web-scale path for DEEP graphs (long similarity chains), where plain
+    min-label propagation needs a round per hop. Fixed point = one star per
+    component, every non-root pointing directly at the component minimum;
+    convergence is detected by the edge multiset stabilizing (count +
+    order-insensitive checksum — an aggregate, not data, on the driver).
+    Same per-round ``localCheckpoint`` lineage-truncation seam as the
+    sibling."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = _canon_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod before the sum: a raw sum of 64-bit hashes overflows
+            # long under ANSI arithmetic
+            F.coalesce(F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds (rounds needed ~ log2(graph diameter))"
+        )
+    # fixed point is a star per component: every non-root u points at its
+    # component min v (min() guards the degenerate multi-parent case)
+    parents = e.groupBy("u").agg(F.min("v").alias("comp"))
+    return vertices.select(F.col(id_col).alias("id")).join(
+        parents, on=F.col("id") == F.col("u"), how="left"
+    ).select("id", F.coalesce(F.col("comp"), F.col("id")).alias("comp"))
 
 
 def dedup_representatives(

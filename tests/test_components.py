@@ -41,3 +41,47 @@ def test_dedup_representatives_keep_flags(spark):
     e = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
     out = {r["doc_id"]: (r["component"], r["keep"]) for r in dedup_representatives(v, e, id_col="doc_id").collect()}
     assert out == {1: (1, True), 2: (2, True), 3: (2, False), 9: (9, True)}
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    """Large-star/small-star must produce the identical (id, comp) labeling
+    as min-label propagation on arbitrary graphs (several seeds, skewed
+    degree, isolated vertices)."""
+    import pyspark.sql.functions as F
+
+    from etl_spark.operators.components import connected_components, connected_components_star
+
+    for seed in (1, 2, 3):
+        n = 200
+        verts = spark.range(n).select(F.format_string("v%04d", F.col("id")).alias("id"))
+        edges = (
+            spark.range(150)
+            .select(
+                F.format_string("v%04d", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n))).alias("id_a"),
+                F.format_string("v%04d", F.pmod(F.xxhash64("id", F.lit(seed + 99)), F.lit(n // 3))).alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+        )
+        a = {r["id"]: r["comp"] for r in connected_components(verts, edges).collect()}
+        b = {r["id"]: r["comp"] for r in connected_components_star(verts, edges).collect()}
+        assert a == b, f"seed {seed}: labelings diverge"
+
+
+def test_star_converges_logarithmically_on_deep_chains(spark):
+    """A 60-hop chain: propagation needs ~60 rounds (raises at 12), the
+    alternating star rounds collapse it within the same tiny budget."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from etl_spark.operators.components import connected_components, connected_components_star
+
+    n = 61
+    verts = spark.range(n).select(F.format_string("c%03d", F.col("id")).alias("id"))
+    chain = spark.range(n - 1).select(
+        F.format_string("c%03d", F.col("id")).alias("id_a"),
+        F.format_string("c%03d", F.col("id") + 1).alias("id_b"),
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(verts, chain, max_rounds=12)
+    got = {r["comp"] for r in connected_components_star(verts, chain, max_rounds=12).collect()}
+    assert got == {"c000"}  # one component, rooted at the minimum
