@@ -1113,6 +1113,25 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_star_components",
+    QUERIES["dedup_connected_components"][1],
+)
+def q_dedup_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the large-star/small-star formulation
+    (operators/components.connected_components_star — O(log diameter)
+    rounds, the deep-graph scale path): must reproduce the propagation
+    result exactly, so it shares the recursive-CTE oracle."""
+    from etl_spark.operators.components import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = FD.ngram_jaccard_pairs(docs, threshold_milli=300)
+    comp = connected_components_star(
+        docs.select(F.col("doc_id").alias("id")), pairs, id_col="id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@register(
     "dedup_cluster_filter",
     f"""
     WITH RECURSIVE {_SHINGLES_SQL},
@@ -1898,6 +1917,9 @@ _DEFERRED = (
     "tok_truncate_eos",
     "tok_clamp_unk",
     "tpch_rollup_pricing",  # near-twin of tpch_q1_pricing (same aggregate, +rollup)
+    # alternate CC strategy; equivalence to the attested propagation entry
+    # is pytest-pinned (tests/test_components.py)
+    "dedup_star_components",
 )
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEFERRED},
