@@ -303,6 +303,25 @@ class LakeTable:
     def files(self, sid: int | None = None) -> list[dict]:
         return self.snapshot(sid)["files"]
 
+    def stats(self, sid: int | None = None) -> dict:
+        """Operator-facing snapshot stats from metadata only (no data scan):
+        file/row counts are PHYSICAL (they include MoR-superseded copies and
+        tombstone rows — the gap between ``rows`` and ``read().count()`` is
+        exactly the compaction debt), ``mor_files``/``mor_mask_rows`` size
+        the read-side mask, and ``fenced_epochs`` counts applied epochs."""
+        snap = self.snapshot(sid)
+        files = snap["files"]
+        mor = [f for f in files if f.get("mor")]
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "schema_version": snap["schema_version"],
+            "n_files": len(files),
+            "rows": sum(f["rows"] for f in files),
+            "mor_files": len(mor),
+            "mor_mask_rows": sum(f["rows"] for f in mor),
+            "fenced_epochs": len(self.fenced_epochs()),
+        }
+
     # --------------------------------------------------------------- fences
 
     def fences(self) -> set[tuple[int, int]]:

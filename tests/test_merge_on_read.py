@@ -251,6 +251,23 @@ def test_mor_time_travel_and_diff(spark, tmp_table_dir):
     assert d == {"a": ("U", 5)}
 
 
+def test_table_stats_track_mor_debt(spark, tmp_table_dir):
+    from etl_spark.table.maintenance import compact_mor
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _bulk(spark, 1000), epoch=0)
+    s0 = table.stats()
+    assert s0["mor_files"] == 0 and s0["rows"] == 1000 and s0["fenced_epochs"] == 1
+    merge_batch(table, _batch(spark, [("k00001", 99999, 0, "U", 1, "s")]), epoch=1, merge_mode="mor")
+    s1 = table.stats()
+    assert s1["mor_files"] == 1 and s1["mor_mask_rows"] == 1
+    assert s1["rows"] == 1001  # physical rows include the superseded copy
+    assert table.read().count() == 1000
+    compact_mor(table, target_rows_per_file=1000)
+    s2 = table.stats()
+    assert s2["mor_files"] == 0 and s2["rows"] == 1000
+
+
 def test_mor_schema_evolution_and_rename(spark, tmp_table_dir):
     """MoR winners files written under different schema versions reconcile
     through the same field-id loader as CoW files."""
