@@ -71,6 +71,11 @@ HIDDEN_DELETED = "_deleted"
 # Compaction (table/maintenance.py) is what keeps the mor backlog bounded.
 MASK_BROADCAST_MAX_ROWS = 4_000_000
 
+# basename -> commit-order mapping stays a literal create_map up to this
+# many file entries; above it the mapping broadcast-joins instead
+# (see _with_file_seq)
+MAX_LITERAL_SEQ_MAP = 2_048
+
 
 class TableCommitError(RuntimeError):
     pass
@@ -161,6 +166,7 @@ class LakeTable:
         self._first_snap_cache: dict[str, int] = {}
         # incremental fence ledger (see fences())
         self._fences_cache: set[tuple[int, int]] = set()
+        self._fenced_epochs_cache: set[int] = set()
         self._fences_upto: int = -1
 
     # ------------------------------------------------------------------ DDL
@@ -336,11 +342,13 @@ class LakeTable:
         for s in range(self._fences_upto + 1, head + 1):
             for f in self.snapshot(s)["fences"]:
                 self._fences_cache.add((f["checkpoint_epoch"], f["partition_id"]))
+                self._fenced_epochs_cache.add(f["checkpoint_epoch"])
         self._fences_upto = max(self._fences_upto, head)
         return self._fences_cache
 
     def fenced_epochs(self) -> set[int]:
-        return {e for (e, _p) in self.fences()}
+        self.fences()  # extend the incremental caches
+        return self._fenced_epochs_cache
 
     def is_fenced(self, epoch: int) -> bool:
         return epoch in self.fenced_epochs()
@@ -427,6 +435,29 @@ class LakeTable:
             out = out.unionByName(p)
         return self._apply_mor_masks(out, file_entries, snap) if apply_masks else out
 
+    def _with_file_seq(self, df: DataFrame, entries: list[dict], col: str) -> DataFrame:
+        """Tag each row with its file's commit order: basename(input_file) ->
+        added_at. Below MAX_LITERAL_SEQ_MAP entries the mapping is a literal
+        ``create_map`` (zero plan nodes beyond a projection); above it — a
+        table with 10^5+ live files would bloat every plan with a megabyte
+        literal — the mapping becomes a broadcast-joined two-column frame."""
+        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        if len(entries) <= MAX_LITERAL_SEQ_MAP:
+            pairs: list = []
+            for f in entries:
+                pairs += [F.lit(os.path.basename(f["path"])), F.lit(self._entry_seq(f))]
+            return df.withColumn(col, F.element_at(F.create_map(*pairs), fname))
+        mapping = self.spark.createDataFrame(
+            [(os.path.basename(f["path"]), self._entry_seq(f)) for f in entries],
+            "_bn string, _sq int",
+        )
+        return (
+            df.withColumn("_bn0", fname)
+            .join(F.broadcast(mapping), F.col("_bn0") == F.col("_bn"), "left")
+            .withColumn(col, F.col("_sq"))
+            .drop("_bn0", "_bn", "_sq")
+        )
+
     def _apply_mor_masks(self, out: DataFrame, file_entries: list[dict], snap: dict) -> DataFrame:
         """Drop rows superseded by a newer mor-flagged file's keys (module
         docstring "Merge-on-read"). The mask is ONE column-pruned scan of
@@ -456,14 +487,7 @@ class LakeTable:
             ]
             if not mor:
                 return out
-        fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        pairs: list = []
-        for f in file_entries:
-            pairs += [F.lit(os.path.basename(f["path"])), F.lit(self._entry_seq(f))]
-        out = out.withColumn("_fseq", F.element_at(F.create_map(*pairs), fname))
-        mpairs: list = []
-        for f in mor:
-            mpairs += [F.lit(os.path.basename(f["path"])), F.lit(self._entry_seq(f))]
+        out = self._with_file_seq(out, file_entries, "_fseq")
         mask_rows = self.spark.read.schema("doc_id string").parquet(
             *sorted(f["path"] for f in mor)
         )
@@ -471,8 +495,7 @@ class LakeTable:
             # residual predicate pushed into the winners-file scan
             mask_rows = mask_rows.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
         mask = (
-            mask_rows.select(F.col("doc_id").alias("_mkey"), F.input_file_name().alias("_f"))
-            .withColumn("_mseq", F.element_at(F.create_map(*mpairs), F.element_at(F.split("_f", "/"), -1)))
+            self._with_file_seq(mask_rows.select(F.col("doc_id").alias("_mkey")), mor, "_mseq")
             .groupBy("_mkey")
             .agg(F.max("_mseq").alias("_mseq"))
         )

@@ -251,6 +251,21 @@ def test_mor_time_travel_and_diff(spark, tmp_table_dir):
     assert d == {"a": ("U", 5)}
 
 
+def test_mask_seq_mapping_join_fallback(spark, tmp_table_dir, monkeypatch):
+    """Above MAX_LITERAL_SEQ_MAP entries the basename->commit-order mapping
+    broadcast-joins instead of inlining a literal map (a 10^5-file table
+    would bloat every plan); force the fallback and check masked reads."""
+    import etl_spark.table.table as tt
+
+    monkeypatch.setattr(tt, "MAX_LITERAL_SEQ_MAP", 0)
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    merge_batch(table, _bulk(spark, 1000), epoch=0)
+    merge_batch(table, _batch(spark, [("k00007", 99999, 0, "U", -7, "m")]), epoch=1, merge_mode="mor")
+    merge_batch(table, _batch(spark, [("k00007", 99998, 0, "U", 55, "m")]), epoch=2, merge_mode="mor")  # stale
+    assert table.read().count() == 1000
+    assert table.read().where("doc_id = 'k00007'").collect()[0]["value_cents"] == -7
+
+
 def test_table_stats_track_mor_debt(spark, tmp_table_dir):
     from etl_spark.table.maintenance import compact_mor
 
