@@ -56,25 +56,49 @@ def _rewrite(
     target_rows_per_file: int,
     summary: dict,
     mor_flag: bool = False,
+    expect_parent: int | None = None,
 ) -> int:
+    """Stage + commit a maintenance rewrite, pinned to the snapshot it
+    planned against: without ``expect_parent``, a MERGE landing between the
+    planning read and this commit would have its output silently undone —
+    the rewrite re-adds rows it copied from files the merge just replaced
+    (the classic compaction-vs-writer conflict Iceberg validates against).
+    On conflict the staged files are removed and TableCommitError surfaces;
+    maintenance is re-runnable, so callers simply retry against the new
+    head. Any other failure after staging also cleans its debris (gc_orphans
+    covers only hard crashes)."""
+    import shutil as _shutil
+
     from etl_spark.operators.merge import _collect_file_stats
 
     spark = table.spark
     n_rows = df.count()
     sid_next = table.head_id() + 1
     stage = table.stage_dir(sid_next)
-    n_files = max(1, min(spark.sparkContext.defaultParallelism, (n_rows // target_rows_per_file) + 1))
-    (
-        df.repartitionByRange(n_files, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(stage)
-    )
-    add_files = _collect_file_stats(table, stage, table.snapshot()["schema_version"])
-    if mor_flag:
-        for f in add_files:
-            f["mor"] = True
-    return table.commit(add_files=add_files, remove_paths=remove_paths, summary=summary)
+    committed = False
+    try:
+        n_files = max(1, min(spark.sparkContext.defaultParallelism, (n_rows // target_rows_per_file) + 1))
+        (
+            df.repartitionByRange(n_files, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        add_files = _collect_file_stats(table, stage, table.snapshot(expect_parent)["schema_version"])
+        if mor_flag:
+            for f in add_files:
+                f["mor"] = True
+        sid = table.commit(
+            add_files=add_files,
+            remove_paths=remove_paths,
+            summary=summary,
+            expect_parent=expect_parent,
+        )
+        committed = True
+        return sid
+    finally:
+        if not committed:
+            _shutil.rmtree(stage, ignore_errors=True)
 
 
 def compact(table: LakeTable, small_file_rows: int = 100_000, target_rows_per_file: int = 1_000_000) -> int | None:
@@ -101,6 +125,7 @@ def compact(table: LakeTable, small_file_rows: int = 100_000, target_rows_per_fi
         target_rows_per_file=target_rows_per_file,
         summary={"maintenance": "compact", "files_in": len(small)},
         mor_flag=mor_flag,
+        expect_parent=snap["snapshot_id"],
     )
 
 
@@ -139,6 +164,7 @@ def compact_mor(table: LakeTable, target_rows_per_file: int = 1_000_000) -> int 
         target_rows_per_file=target_rows_per_file,
         summary={"maintenance": "compact_mor", "files_in": len(entries)},
         mor_flag=False,
+        expect_parent=snap["snapshot_id"],
     )
 
 
@@ -176,6 +202,7 @@ def rewrite_table(table: LakeTable, target_rows_per_file: int = 1_000_000) -> in
         target_rows_per_file=target_rows_per_file,
         summary={"maintenance": "rewrite_table", "files_in": len(snap["files"])},
         mor_flag=False,
+        expect_parent=snap["snapshot_id"],
     )
 
 
@@ -282,4 +309,5 @@ def expire_tombstones(table: LakeTable, low_watermark_lsn: int, target_rows_per_
         target_rows_per_file=target_rows_per_file,
         summary={"maintenance": "expire_tombstones", "low_watermark": low_watermark_lsn},
         mor_flag=mor_flag,
+        expect_parent=snap["snapshot_id"],
     )

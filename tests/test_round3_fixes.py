@@ -274,3 +274,46 @@ def test_chunk_zero_length_docs_emit_no_rows(spark):
     got_arrow = chunk_for_training_arrow(df, seq_len=8).collect()
     assert [r["doc_id"] for r in got] == ["one"]
     assert [r["doc_id"] for r in got_arrow] == ["one"]
+
+
+# ------------------------------------ maintenance vs concurrent writers
+
+
+def test_compaction_refuses_after_concurrent_merge(spark, tmp_table_dir, monkeypatch):
+    """Compaction-vs-writer conflict (the hole Iceberg's rewrite validation
+    exists for): a MERGE that lands between a compaction's planning read
+    and its commit must make the compaction REFUSE — otherwise the rewrite
+    re-adds rows it copied from files the merge just replaced, silently
+    undoing the merge. The staged debris is cleaned and a retry succeeds."""
+    import pytest
+
+    from etl_spark.table.maintenance import compact, gc_orphans
+    from etl_spark.table.table import TableCommitError
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    rows = [(f"k{i:03d}", i + 1, 0, "U", i, "s") for i in range(40)]
+    merge_batch(table, _batch(spark, rows), epoch=0, target_rows_per_file=10)
+
+    orig_commit = LakeTable.commit
+    state = {"injected": False}
+
+    def racy_commit(self, *a, **kw):
+        if not state["injected"] and kw.get("summary", {}).get("maintenance") == "compact":
+            state["injected"] = True
+            other = LakeTable(spark, tmp_table_dir)
+            merge_batch(other, _batch(spark, [("k001", 99999, 0, "U", -1, "w")]), epoch=1)
+        return orig_commit(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", racy_commit)
+    with pytest.raises(TableCommitError):
+        compact(table, small_file_rows=1 << 60, target_rows_per_file=1000)
+    monkeypatch.undo()
+    assert state["injected"]
+
+    t2 = LakeTable(spark, tmp_table_dir)
+    got = {r["doc_id"]: r["value_cents"] for r in t2.read().collect()}
+    assert got["k001"] == -1 and len(got) == 40  # the merge survived intact
+    assert gc_orphans(t2) == []  # failed compaction cleaned its stage
+    # retry against the new head succeeds and preserves the merge
+    assert compact(t2, small_file_rows=1 << 60, target_rows_per_file=1000) is not None
+    assert {r["doc_id"]: r["value_cents"] for r in t2.read().collect()} == got
