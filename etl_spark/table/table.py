@@ -23,10 +23,17 @@ Commit record: parent pointer, schema + schema_version, live file list with
 per-file stats (rows, min/max doc_id), fence records added this commit
 (``(checkpoint_epoch, partition_id)``), lineage records, summary counters.
 
-Atomicity: write-temp + ``os.rename`` (POSIX-atomic within a filesystem) for
-both the commit file and HEAD — the single-writer analog of Iceberg's
-optimistic-concurrency metadata swap. A concurrent-writer CAS would replace
-the HEAD rename with a catalog compare-and-swap; documented seam, same API.
+Atomicity & concurrency: the commit-file CREATE is the CAS — temp-write +
+fsync + ``os.link`` (create-exclusive), so exactly one writer claims each
+snapshot id and the loser gets a retryable ``TableCommitError``; HEAD is a
+plain pointer updated after (late writes are harmless — recovery rolls it
+forward, never back). ``commit(expect_parent=...)`` adds the
+optimistic-concurrency validation every mutating flow pins itself with:
+merges replan+retry, maintenance rewrites refuse and re-run, schema
+evolution refuses and re-reads. Proven across two OS processes through the
+real filesystem (tests/test_cross_process_writers.py). On an object store
+(no ``link``), swap ``_atomic_create_json`` for a catalog compare-and-swap
+— documented seam, same API.
 
 Merge-on-read (round 3): a MERGE may commit in ``mor`` mode — it adds ONE
 batch-sized file of winning rows (upserts + tombstones) and rewrites
@@ -692,11 +699,18 @@ class LakeTable:
         cast up, renamed columns resolved through their stable field id).
         Successor of the reference's schema-rebuilding rename
         (``FeatureTypeExtensions.scala:10-29``, which rewrites the feature
-        type eagerly)."""
+        type eagerly).
+
+        Pinned to the schema it planned against (``expect_parent``): two
+        racing evolves would otherwise apply the second over the FIRST's
+        base and silently drop it; the loser gets TableCommitError and
+        re-reads. A concurrent merge also trips the pin — evolve is cheap
+        and re-runnable, so strictness beats special-casing."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
-        cur = self.schema()
-        fids = dict(self.field_ids())
+        base = self.head_id()
+        cur = self.schema(base)
+        fids = dict(self.field_ids(base))
         fields = {f.name: f for f in cur.fields}
         order = [f.name for f in cur.fields]
         renames = dict(renames or {})
@@ -739,7 +753,9 @@ class LakeTable:
                 raise TableCommitError(f"illegal widen {name}: {old_t} -> {dt}")
             fields[name] = StructField(name, _parse_datatype_string(dt), nullable=fields[name].nullable)
         new_schema = StructType([fields[n] for n in order])
-        return self.commit(add_files=[], new_schema=new_schema, new_field_ids=fids)
+        return self.commit(
+            add_files=[], new_schema=new_schema, new_field_ids=fids, expect_parent=base
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename by stable field id (reference P5)."""

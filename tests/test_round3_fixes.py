@@ -317,3 +317,34 @@ def test_compaction_refuses_after_concurrent_merge(spark, tmp_table_dir, monkeyp
     # retry against the new head succeeds and preserves the merge
     assert compact(t2, small_file_rows=1 << 60, target_rows_per_file=1000) is not None
     assert {r["doc_id"]: r["value_cents"] for r in t2.read().collect()} == got
+
+
+def test_racing_schema_evolutions_cannot_clobber(spark, tmp_table_dir, monkeypatch):
+    """Two evolves planned against the same base: the loser must REFUSE
+    (its new schema was computed without the winner's change), not silently
+    drop the winner's column."""
+    import pytest
+
+    from etl_spark.table.table import TableCommitError
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
+    orig_commit = LakeTable.commit
+    state = {"injected": False}
+
+    def racy_commit(self, *a, **kw):
+        if not state["injected"] and kw.get("new_schema") is not None:
+            state["injected"] = True
+            LakeTable(spark, tmp_table_dir).update_schema(add_columns=[("winner_col", "bigint")])
+        return orig_commit(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", racy_commit)
+    with pytest.raises(TableCommitError):
+        table.update_schema(add_columns=[("loser_col", "bigint")])
+    monkeypatch.undo()
+    t2 = LakeTable(spark, tmp_table_dir)
+    names = [f.name for f in t2.schema().fields]
+    assert "winner_col" in names and "loser_col" not in names
+    # retry against the new head lands both
+    t2.update_schema(add_columns=[("loser_col", "bigint")])
+    names = [f.name for f in t2.schema().fields]
+    assert "winner_col" in names and "loser_col" in names
