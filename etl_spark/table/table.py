@@ -175,6 +175,9 @@ class LakeTable:
         self._fences_cache: set[tuple[int, int]] = set()
         self._fenced_epochs_cache: set[int] = set()
         self._fences_upto: int = -1
+        # schema_version -> first snapshot id carrying it
+        # (see _snapshot_at_version)
+        self._version_snap_cache: dict[int, int] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -270,9 +273,16 @@ class LakeTable:
 
     def _snapshot_at_version(self, version: int) -> dict | None:
         """Earliest snapshot whose live schema carries a given
-        schema_version."""
+        schema_version. Cached per handle (a version's first snapshot is
+        immutable): every load_files resolves its groups' schemas through
+        here, so an uncached walk would be O(snapshots) per epoch —
+        O(epochs^2) over a long replay."""
+        sid = self._version_snap_cache.get(version)
+        if sid is not None:
+            return self.snapshot(sid)
         for s in self.snapshots():
             if s["schema_version"] == version:
+                self._version_snap_cache[version] = s["snapshot_id"]
                 return s
         return None
 
