@@ -196,11 +196,22 @@ def distributed_sorted_rank(
 
     spark = df.sparkSession
     num_partitions = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    # eager localCheckpoint PINS the sampled range boundaries: the local-rank
+    # branch and the counts branch below must observe the IDENTICAL
+    # partitioning, and relying on Catalyst ReusedExchange to dedupe the
+    # repartitionByRange leaves a correctness hole — were the exchange ever
+    # evaluated twice (e.g. reuse disabled under AQE replanning), each
+    # evaluation re-samples its own boundaries and the _part-keyed offsets
+    # would no longer match the ranked partitions, yielding wrong/duplicate
+    # ids. Materializing once makes both branches read the same frozen RDD.
+    # Cost: one job over the distinct set (vocab-sized, tiny vs the corpus).
+    # On a cluster swap for reliable checkpoint(dir), as elsewhere.
     distinct = (
         df.select(col)
         .distinct()
         .repartitionByRange(num_partitions, col)
         .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     local = distinct.withColumn(
         "_lrank", F.row_number().over(Window.partitionBy("_part").orderBy(col))
@@ -250,15 +261,21 @@ def pack_sequences(
     # repartitionByRange's boundary sampler evaluates the exchange child
     # once before the map stage does, so an un-cached arbitrarily-expensive
     # upstream (e.g. the vocab-encode chain) would run twice — measured 3x
-    # slower on tok_pack_sequences. The two downstream consumers (local
-    # cumsum, per-partition totals) share the exchange via AQE stage reuse
-    # either way. The cache outlives this function by design (the caller's
-    # action consumes it); the ContextCleaner reclaims it with the plan.
+    # slower on tok_pack_sequences. The eager localCheckpoint ABOVE the
+    # exchange then pins the sampled boundaries so the two consumers (local
+    # cumsum, per-partition totals) provably see the identical partitioning
+    # (same hole as distributed_sorted_rank: ReusedExchange is an
+    # optimization, not a guarantee) — and, once materialized, the narrow
+    # persist can be released immediately instead of leaking to the
+    # ContextCleaner.
+    narrow = df.select(F.col(id_col), F.size(tokens_col).alias("_n")).persist()
     sized = (
-        df.select(F.col(id_col), F.size(tokens_col).alias("_n")).persist()
+        narrow
         .repartitionByRange(num_partitions, id_col)
         .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    narrow.unpersist()
     w_local = Window.partitionBy("_part").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -168,11 +168,19 @@ def connected_components_star(
     sig = _sig(e)
     converged = False
     for _ in range(max_rounds):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
-            converged = True
-            break
+            # the signature is a (count, checksum) pair — two DISTINCT
+            # consecutive edge sets could collide and terminate early with
+            # wrong components. Confirm the fixed point EXACTLY on match:
+            # both sets are distinct and counts are equal, so an empty
+            # (new - old) difference proves set equality. Runs once, at
+            # convergence only — never inside the hot rounds.
+            if e.exceptAll(prev).isEmpty():
+                converged = True
+                break
         sig = new_sig
     if not converged:
         raise RuntimeError(

@@ -538,6 +538,29 @@ def _merge_attempt(
             # drop same-key rows from older files (table.py docstring)
             for f in add_files:
                 f["mor"] = True
+        elif any(f.get("mor") for f in files if f["path"] in touched_paths):
+            # CoW rewrite that REMOVES a mor winners file: the mask dies with
+            # it, but the stale copies it masked may live in files this batch
+            # did NOT touch (the winners file's key range spans every key its
+            # MoR epoch applied; this batch only intersects part of it).
+            # Without a new mask those copies resurrect as duplicate keys
+            # (interleaved mor-then-cow, tests/test_merge_on_read.py). The
+            # output IS the current state for every key it holds (resolved
+            # through the masked loader), so it can safely inherit the mor
+            # flag — the same keep-the-flag rule maintenance.compact uses —
+            # unless no untouched file overlaps a removed winners file (then
+            # no masked copy survives anywhere). compact_mor sheds the debt.
+            removed_mor = [f for f in files if f["path"] in touched_paths and f.get("mor")]
+            untouched = [f for f in files if f["path"] not in touched_paths]
+
+            def _overlaps(a: dict, b: dict) -> bool:
+                if a["min_key"] is None or b["min_key"] is None:
+                    return True  # no stats -> cannot prove disjoint
+                return a["max_key"] >= b["min_key"] and a["min_key"] <= b["max_key"]
+
+            if any(_overlaps(u, m) for u in untouched for m in removed_mor):
+                for f in add_files:
+                    f["mor"] = True
         try:
             new_sid = table.commit(
                 add_files=add_files,

@@ -73,10 +73,14 @@ from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, can_widen, relax_nullabilit
 
 HIDDEN_DELETED = "_deleted"
 
-# MoR mask side of the read join rides a broadcast up to this many keys
-# (~12B/key -> tens of MB); beyond it AQE plans a shuffled hash join.
-# Compaction (table/maintenance.py) is what keeps the mor backlog bounded.
-MASK_BROADCAST_MAX_ROWS = 4_000_000
+# MoR mask side of the read join rides a FORCED broadcast up to this many
+# keys. Sized by the JVM broadcast hash-relation footprint (~100-150 B/row
+# of object + hashmap overhead, an order of magnitude over the ~12 B of raw
+# key bytes), not the raw key size: 500k keys ≈ 50-75 MB per executor, a
+# safe ceiling. Beyond it NO hint is forced — AQE picks broadcast vs
+# shuffled hash from measured sizes. Compaction (table/maintenance.py) is
+# what keeps the mor backlog bounded.
+MASK_BROADCAST_MAX_ROWS = 500_000
 
 # basename -> commit-order mapping stays a literal create_map up to this
 # many file entries; above it the mapping broadcast-joins instead

@@ -89,9 +89,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -134,7 +136,13 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    # denominator = queries actually RUN (a name-filtered invocation must
+    # never print the full-registry count and masquerade as a full pass)
+    print(f"\n{ran - len(failures)}/{ran} queries pass")
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"WARNING: unknown query names skipped: {sorted(unknown)}")
     return 1 if failures else 0
 
 
