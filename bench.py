@@ -118,6 +118,11 @@ def run_mor_ab(spark, table_events: int = 500_000, micro_epochs: int = 8, micro_
         b = tables["mor"].read().select("doc_id", "tokens", "n_tok", "source")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
         return {
+            # NOT the official protocol number: this inline A/B runs 8x5k
+            # micro epochs against a 500k-row table; the official measurement
+            # is tools/bench_mor.py (16x5k against 2M rows, interleaved arms)
+            "protocol": "small-inline",
+            "official_protocol": "tools/bench_mor.py 16x5k vs 2M rows",
             "table_events": table_events,
             "micro_epochs": micro_epochs,
             "micro_events": micro_events,
@@ -199,14 +204,30 @@ def main() -> None:
     replay = run_replay_bench(spark, n_events=n_events, n_keys=max(1000, n_events // 20), epochs=epochs)
     mor_ab = None if os.environ.get("BENCH_SKIP_MOR") else run_mor_ab(spark)
 
-    qtimes: dict[str, float] = {}
+    # noise-robust per-query timing: 3 reps (median/min/max) so a round-over-
+    # round comparison doesn't inherit the VM's ±30% single-shot swing; a
+    # query whose first rep exceeds REP_TRIM_SEC runs once (keeps total wall
+    # within the driver's patience — the slow queries are also the ones whose
+    # signal-to-noise is already acceptable at one shot).
+    REP_TRIM_SEC = 5.0
+    qtimes: dict[str, dict] = {}
     fns = query_fns()
     for name in QUERY_SUBSET:
-        t0 = time.time()
-        df = fns[name](spark, sf_dir)
-        n = df.count()
-        qtimes[name] = round(time.time() - t0, 2)
-        _ = n
+        reps: list[float] = []
+        for _rep in range(3):
+            t0 = time.time()
+            df = fns[name](spark, sf_dir)
+            df.count()
+            reps.append(round(time.time() - t0, 2))
+            if reps[0] > REP_TRIM_SEC:
+                break
+        reps.sort()
+        qtimes[name] = {
+            "median": reps[len(reps) // 2],
+            "min": reps[0],
+            "max": reps[-1],
+            "reps": len(reps),
+        }
 
     print(
         json.dumps(
@@ -215,6 +236,7 @@ def main() -> None:
                 "value": replay["wall_sec"],
                 "unit": "sec",
                 "queries": qtimes,
+                "queries_median": {k: v["median"] for k, v in qtimes.items()},
                 "sf": sf,
                 "cpus": cpus,
                 "replay": replay,

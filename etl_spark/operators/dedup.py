@@ -43,20 +43,36 @@ from pyspark.sql import DataFrame, Window
 
 ORDER_COLS = ("commit_lsn", "op_seq")
 
+# Column objects are immutable name-resolved-at-analysis plan fragments, so
+# the max_by aggregate + unpack projection are built once per column layout
+# and reused across epochs — a long microbatch replay otherwise pays the
+# ~50 py4j round-trips of rebuilding them on every merge (driver serial
+# fraction, tools/bench_epoch.py --phases).
+_LWW_EXPRS_CACHE: dict[tuple, tuple] = {}
+
 
 def _payload_cols(df: DataFrame, key: str) -> list[str]:
     return [c for c in df.columns if c not in (key, *ORDER_COLS)]
 
 
+def _lww_exprs(key: str, payload: list[str]) -> tuple:
+    ck = (key, *payload)
+    cached = _LWW_EXPRS_CACHE.get(ck)
+    if cached is None:
+        win = F.max_by(
+            F.struct(*[F.col(c) for c in (*ORDER_COLS, *payload)]),
+            F.struct(*[F.col(c) for c in ORDER_COLS]),
+        ).alias("_w")
+        unpack = [F.col(f"_w.{c}").alias(c) for c in (*ORDER_COLS, *payload)]
+        cached = (win, unpack)
+        _LWW_EXPRS_CACHE[ck] = cached
+    return cached
+
+
 def lww_dedup(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """One winning event per key via max_by hash aggregate (partial+final)."""
-    payload = _payload_cols(df, key)
-    win = F.max_by(
-        F.struct(*[F.col(c) for c in (*ORDER_COLS, *payload)]),
-        F.struct(*[F.col(c) for c in ORDER_COLS]),
-    ).alias("_w")
-    out = df.groupBy(key).agg(win)
-    return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in (*ORDER_COLS, *payload)])
+    win, unpack = _lww_exprs(key, _payload_cols(df, key))
+    return df.groupBy(key).agg(win).select(key, *unpack)
 
 
 def lww_dedup_window(df: DataFrame, key: str = "doc_id") -> DataFrame:

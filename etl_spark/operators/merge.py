@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import time
 import urllib.parse
 from dataclasses import dataclass
 
@@ -55,6 +56,66 @@ from pyspark.sql.types import StructType
 from etl_spark.operators.dedup import lww_dedup, lww_dedup_fetch, lww_dedup_salted
 from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, relax_nullability
 from etl_spark.table.table import HIDDEN_DELETED, LakeTable, TableCommitError
+
+
+# Microbatch fast path: when the deduped batch fits under this many keys, the
+# planning job also ships the key list to the driver (bounded by a LIMIT — a
+# bulk batch returns CAP+1 rows and the driver discards them, so no unbounded
+# collect can ever happen) and the MoR resolve+write then runs as ONE Spark
+# job: the batch keys broadcast from a driver-local relation (LocalTableScan
+# broadcasts never launch a job) and the resolve join is forced to sort-merge
+# (both sides are batch-sized; a broadcast hint would spawn a separate
+# build job). Motivation: on back-to-back microbatch epochs the engine-side
+# floor is per-JOB scheduling overhead (~0.25-0.4 s each on the bench VM),
+# not data — 12 jobs/epoch was the round-3 ~3-4.5 s/epoch fixed cost;
+# 2 jobs/epoch is the floor this path targets (tools/bench_epoch.py).
+FAST_PATH_MAX_KEYS = 50_000
+
+
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for an arbitrary key value
+    (backslash and quote escaped — Spark string literals are C-style)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+class _scoped_conf:
+    """Set a session conf for the duration of a block, restoring on exit.
+    Used to disable AQE around microbatch-sized actions: AQE's per-stage
+    materialize-and-replan loop roughly doubles tiny-query latency (measured
+    ~2x on a 2M-row scan+agg on the bench VM) and its benefits — runtime
+    join selection, skew splitting, partition coalescing — need data volumes
+    a microbatch never has. Bulk merges keep AQE on."""
+
+    def __init__(self, spark, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+
+
+def _aqe_off(spark):
+    return _scoped_conf(spark, "spark.sql.adaptive.enabled", "false")
+
+
+# Optional per-phase wall-clock instrumentation: set to a list and every
+# _merge_attempt appends {"phase": ..., "sec": ...} rows (plan / resolve-build
+# / write / stats / commit). Drives tools/bench_epoch.py --phases; never on in
+# production paths (None -> zero overhead beyond a truthiness check).
+PHASE_TIMINGS: list[dict] | None = None
+
+
+def _phase(name: str, t0: float) -> float:
+    now = time.perf_counter()
+    if PHASE_TIMINGS is not None:
+        PHASE_TIMINGS.append({"phase": name, "sec": round(now - t0, 4)})
+    return now
 
 
 @dataclass
@@ -68,25 +129,34 @@ class MergeResult:
     mode: str = "cow"
 
 
+_NORMALIZE_COLS_CACHE: dict[tuple, list] = {}
+
+
 def _normalize_changes(schema: StructType, changes: DataFrame) -> DataFrame:
     """Project the (possibly older/newer-schema) batch onto the table's
-    current schema: missing columns -> null, types cast (covers widen)."""
-    # pin the key/version/op types: they become the hidden columns' physical
-    # parquet types, which the explicit-schema reader (table.py
-    # _physical_schema_at) expects to be uniform across every file
-    cols = [
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("commit_lsn").cast("long").alias("commit_lsn"),
-        F.col("op_seq").cast("int").alias("op_seq"),
-        F.col("op").cast("string").alias("op"),
-    ]
-    for f in schema.fields:
-        if f.name == "doc_id":
-            continue
-        if f.name in changes.columns:
-            cols.append(F.col(f.name).cast(relax_nullability(f.dataType)).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
+    current schema: missing columns -> null, types cast (covers widen).
+    The projection Columns are cached per (schema, batch-columns) layout —
+    rebuilt only when the table evolves or the feed shape changes."""
+    ck = (schema.json(), tuple(changes.columns))
+    cols = _NORMALIZE_COLS_CACHE.get(ck)
+    if cols is None:
+        # pin the key/version/op types: they become the hidden columns'
+        # physical parquet types, which the explicit-schema reader
+        # (table.py _physical_schema_at) expects to be uniform per file
+        cols = [
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("commit_lsn").cast("long").alias("commit_lsn"),
+            F.col("op_seq").cast("int").alias("op_seq"),
+            F.col("op").cast("string").alias("op"),
+        ]
+        for f in schema.fields:
+            if f.name == "doc_id":
+                continue
+            if f.name in changes.columns:
+                cols.append(F.col(f.name).cast(relax_nullability(f.dataType)).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
+        _NORMALIZE_COLS_CACHE[ck] = cols
     return changes.select(*cols)
 
 
@@ -166,6 +236,7 @@ def _merge_attempt(
 ) -> MergeResult:
     if merge_mode not in ("auto", "cow", "mor"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}; one of ['auto', 'cow', 'mor']")
+    _t = time.perf_counter()
     spark = table.spark
     # pin the whole attempt to one snapshot: plan, resolve, and commit all
     # see the same table state; commit(expect_parent=...) enforces it
@@ -180,8 +251,14 @@ def _merge_attempt(
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}; one of {sorted(dedup_fns)}")
     dedup = dedup_fns[dedup_strategy](changes)
     # dedup feeds both the file-touch planning and the resolve join; persist
-    # so the feed scan + dedup shuffle run once per batch, not twice
-    dedup = dedup.persist()
+    # so the feed scan + dedup shuffle run once per batch, not twice. The
+    # cached plan is COMPILED here (CacheManager pins the physical plan at
+    # persist time), so AQE is scoped off: an adaptive cached child runs its
+    # shuffle as a separate materialization job on every epoch — one of the
+    # per-job scheduling taxes the microbatch fast path exists to remove —
+    # and buys nothing for an agg whose skew dies in the partial phase.
+    with _aqe_off(spark):
+        dedup = dedup.persist()
 
     # ---- plan: which files does this batch touch?
     files = snap["files"]
@@ -189,7 +266,38 @@ def _merge_attempt(
     unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
     touched_paths: set[str] = {f["path"] for f in unplannable}
     n_changes: int | None = None
-    if plannable:
+
+    # ---- keys probe: ONE bounded job that decides fast vs bulk planning.
+    # LocalLimit caps every partition at CAP+1 rows, the groupBy().agg
+    # root avoids CollectLimit's incremental scale-up jobs, and because
+    # dedup is one row per key, len(keys) IS n_changes when under the cap.
+    # A bulk batch returns exactly CAP+1 rows and the driver discards them
+    # — no unbounded collect; the probe's full-partition evaluation also
+    # materializes the dedup cache the later jobs reuse.
+    with _aqe_off(spark):
+        probe = (
+            dedup.select("doc_id")
+            .limit(FAST_PATH_MAX_KEYS + 1)
+            .groupBy()
+            .agg(F.collect_list("doc_id").alias("ks"))
+            .collect()
+        )
+    key_rows = probe[0]["ks"] if probe else []
+    batch_keys: list[str] | None = None
+    if len(key_rows) <= FAST_PATH_MAX_KEYS:
+        batch_keys = sorted(key_rows)
+        n_changes = len(batch_keys)
+        # driver-side file-touch planning: files are range-tight (range-
+        # partitioned writes), keys are sorted — one bisect per file entry,
+        # O(F log K) on the driver, zero Spark jobs. Exactly the join
+        # predicate doc_id BETWEEN min_key AND max_key, evaluated locally.
+        import bisect
+
+        for f in plannable:
+            i = bisect.bisect_left(batch_keys, f["min_key"])
+            if i < len(batch_keys) and batch_keys[i] <= f["max_key"]:
+                touched_paths.add(f["path"])
+    elif plannable:
         from pyspark.sql import Observation
 
         stats_df = spark.createDataFrame(
@@ -226,14 +334,12 @@ def _merge_attempt(
             # an EMPTY batch still yields an empty plan output; the count
             # reuses the dedup cache the planning job just materialized
             n_changes = dedup.count()
-    elif not files:
-        # initial load: there is no planning join to ride the count on, and
-        # without it the write would floor at `par` files regardless of
-        # batch size (10^10-row first load -> par oversized files). One
-        # count job sizes the write; it materializes the persisted dedup the
-        # write job then reuses, so no work is duplicated — and it runs once
-        # per table lifetime.
+    else:
+        # bulk batch with no plannable files: initial load, or stats-less
+        # entries only (already all touched). One count sizes the write; it
+        # reads from the cache the probe job just materialized.
         n_changes = dedup.count()
+    _t = _phase("plan", _t)
 
     if n_changes == 0:
         # empty deduped batch: nothing to resolve or write. Still fence the
@@ -266,13 +372,15 @@ def _merge_attempt(
     )
 
     # ---- resolve LWW against the touched slice of the table
-    if touched_paths:
-        # rename-aware field-id read (table.load_files): touched files may
-        # predate a column rename/add/widen; includes tombstone rows
-        touched_entries = [f for f in files if f["path"] in touched_paths]
+    # rename-aware field-id reads (table.load_files): touched files may
+    # predate a column rename/add/widen; includes tombstone rows. The full
+    # (masked, payload-bearing) target is built ONLY on the CoW path — the
+    # MoR resolve reads its own narrow unmasked projection, and building
+    # the DataFrame here would eagerly run file listing for nothing.
+    touched_entries = [f for f in files if f["path"] in touched_paths] if touched_paths else []
+    target = None
+    if touched_entries and not use_mor:
         target = table.load_files(touched_entries, snap)
-    else:
-        target = None
 
     def _changes_only_rows(df: DataFrame) -> DataFrame:
         """Format change rows that have no target counterpart (new keys /
@@ -292,7 +400,7 @@ def _merge_attempt(
         ]
         return df.select(*sel)
 
-    if use_mor and target is not None:
+    if use_mor and touched_entries:
         # MoR fast resolve: the winners file takes its payload from the
         # CHANGE rows, so the target is needed only to decide who wins —
         # a column-pruned scan of (doc_id, version columns), never the
@@ -302,7 +410,6 @@ def _merge_attempt(
         # payload crosses the wire; write amplification AND read volume are
         # batch-sized.
         small_batch = n_changes is not None and n_changes <= max_broadcast_rows
-        keys = dedup.select("doc_id")
         # UNMASKED narrow read + per-key version argmax, instead of the
         # file-level mask join: by the LWW invariant a change only lands by
         # beating the stored version, so the max (_commit_lsn, _op_seq) row
@@ -310,11 +417,26 @@ def _merge_attempt(
         # drops the per-epoch mask scan + broadcast (which grow with the
         # mor backlog) from the hot path; the agg below runs over the
         # batch-keyed slice only (semi-join first), so it's batch-sized.
+        narrow = table.load_files(touched_entries, snap, apply_masks=False).select(
+            "doc_id", HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED
+        )
+        if batch_keys is not None:
+            # fast path (module comment on FAST_PATH_MAX_KEYS): the key
+            # envelope is a residual predicate PUSHED INTO the parquet scan
+            # (row-group pruning for localized batches) and the batch-key
+            # membership test is an InSet FILTER, not a join — no broadcast
+            # build job, no shuffle; with the forced sort-merge resolve join
+            # below, the whole resolve+write is ONE job. The IN list goes
+            # through ONE sql-parser round-trip: Column.isin ships every
+            # element as its own py4j literal (~3.4 s at 5k keys, measured).
+            narrow = narrow.where(
+                F.col("doc_id").between(batch_keys[0], batch_keys[-1])
+            ).where(F.expr("doc_id IN (" + ",".join(_sql_str(k) for k in batch_keys) + ")"))
+        else:
+            keys = dedup.select("doc_id")
+            narrow = narrow.join(F.broadcast(keys) if small_batch else keys, "doc_id", "left_semi")
         tgtv = (
-            table.load_files(touched_entries, snap, apply_masks=False)
-            .select("doc_id", HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED)
-            .join(F.broadcast(keys) if small_batch else keys, "doc_id", "left_semi")
-            .groupBy("doc_id")
+            narrow.groupBy("doc_id")
             .agg(F.max(F.struct(HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED)).alias("_v"))
             .select(
                 "doc_id",
@@ -324,12 +446,16 @@ def _merge_attempt(
             )
         )
         c = dedup.alias("c")
-        t = tgtv.alias("t")
-        joined = c.join(
-            F.broadcast(t) if small_batch else t,
-            F.col("c.doc_id") == F.col("t.doc_id"),
-            "left_outer",
-        )
+        if batch_keys is not None:
+            t = tgtv.hint("merge").alias("t")
+            joined = c.join(t, F.col("c.doc_id") == F.col("t.doc_id"), "left_outer")
+        else:
+            t = tgtv.alias("t")
+            joined = c.join(
+                F.broadcast(t) if small_batch else t,
+                F.col("c.doc_id") == F.col("t.doc_id"),
+                "left_outer",
+            )
         change_wins = F.col("t.doc_id").isNull() | (
             (F.col("c.commit_lsn") > F.col(f"t.{HIDDEN_LSN}"))
             | (
@@ -436,19 +562,7 @@ def _merge_attempt(
         # conditional aggregates over a stable key hash.
         from pyspark.sql import Observation
 
-        applied = F.col("_applied")
-        lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int")
-        metric_exprs = [F.count(F.lit(1)).alias("n_rows")]
-        for p in range(lineage_partitions):
-            inp = applied & (lp == p)
-            metric_exprs += [
-                F.min(F.when(inp, F.col("_chg_lsn"))).alias(f"lsn_min_{p}"),
-                F.max(F.when(inp, F.col("_chg_lsn"))).alias(f"lsn_max_{p}"),
-                F.sum(F.when(inp & ~F.col("_is_delete"), 1).otherwise(0)).alias(f"ups_{p}"),
-                F.sum(
-                    F.when(inp & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
-                ).alias(f"del_{p}"),
-            ]
+        metric_exprs = list(_lineage_metric_exprs(lineage_partitions))
         obs = Observation(f"merge-epoch-{epoch}-{head0}")
 
         # ---- apply: range-partition on the merge key, write, collect stats
@@ -484,16 +598,10 @@ def _merge_attempt(
         # n_files); beyond it the one distributed stats scan is the fallback.
         obs_file_stats = n_files <= MAX_OBSERVED_STAT_FILES
         if obs_file_stats:
-            pid = F.spark_partition_id()
-            for i in range(n_files):
-                metric_exprs += [
-                    F.min(F.when(pid == i, F.col("doc_id"))).alias(f"fmin_{i}"),
-                    F.max(F.when(pid == i, F.col("doc_id"))).alias(f"fmax_{i}"),
-                    F.sum(F.when(pid == i, 1).otherwise(0)).alias(f"fcnt_{i}"),
-                ]
+            metric_exprs += _file_stat_exprs(n_files)
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         metric_cols = ["_applied", "_is_delete", "_existed", "_was_live", "_chg_lsn"]
-        (
+        writer = (
             write_input.select(*out_cols, *metric_cols)
             .repartitionByRange(n_files, "doc_id")
             # observe sits ABOVE the range exchange: the boundary-sampling
@@ -505,8 +613,17 @@ def _merge_attempt(
             .drop(*metric_cols)
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
-            .parquet(stage)
         )
+        _t = _phase("wbuild", _t)
+        if use_mor and batch_keys is not None:
+            # microbatch fast path: AQE's stage-replan loop costs more than
+            # it could ever save on batch-sized shuffles; with it off the
+            # resolve+write runs as one job (FAST_PATH_MAX_KEYS comment)
+            with _aqe_off(spark):
+                writer.parquet(stage)
+        else:
+            writer.parquet(stage)
+        _t = _phase("write", _t)
         m = obs.get
         lineage = []
         for p in range(lineage_partitions):
@@ -533,6 +650,7 @@ def _merge_attempt(
             add_files = _files_from_observation(m, stage, n_files, snap["schema_version"])
         if add_files is None:
             add_files = _collect_file_stats(table, stage, snap["schema_version"])
+        _t = _phase("stats", _t)
         if use_mor:
             # the winners file doubles as the equality-delete mask: readers
             # drop same-key rows from older files (table.py docstring)
@@ -579,6 +697,7 @@ def _merge_attempt(
             # another writer advanced HEAD after we planned: this attempt's
             # files are orphaned — drop them and let merge_batch replan
             raise
+        _t = _phase("commit", _t)
         committed = True
         return MergeResult(
             new_sid,
@@ -601,6 +720,50 @@ def _merge_attempt(
 
 
 MAX_OBSERVED_STAT_FILES = 256
+
+# Column objects are immutable plan fragments — reusable across queries and
+# epochs. Building the ~70 conditional lineage/file-stat aggregates costs
+# hundreds of py4j round-trips (~0.5-1 s/epoch of driver latency, measured
+# via tools/bench_epoch.py --phases), so they are built once per
+# (lineage_partitions | n_files) and reused for every epoch.
+_LINEAGE_EXPRS_CACHE: dict[int, list] = {}
+_FILE_STAT_EXPRS_CACHE: dict[int, list] = {}
+
+
+def _lineage_metric_exprs(lineage_partitions: int) -> list:
+    cached = _LINEAGE_EXPRS_CACHE.get(lineage_partitions)
+    if cached is None:
+        applied = F.col("_applied")
+        lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int")
+        cached = [F.count(F.lit(1)).alias("n_rows")]
+        for p in range(lineage_partitions):
+            inp = applied & (lp == p)
+            cached += [
+                F.min(F.when(inp, F.col("_chg_lsn"))).alias(f"lsn_min_{p}"),
+                F.max(F.when(inp, F.col("_chg_lsn"))).alias(f"lsn_max_{p}"),
+                F.sum(F.when(inp & ~F.col("_is_delete"), 1).otherwise(0)).alias(f"ups_{p}"),
+                F.sum(
+                    F.when(inp & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
+                ).alias(f"del_{p}"),
+            ]
+        _LINEAGE_EXPRS_CACHE[lineage_partitions] = cached
+    return cached
+
+
+def _file_stat_exprs(n_files: int) -> list:
+    cached = _FILE_STAT_EXPRS_CACHE.get(n_files)
+    if cached is None:
+        pid = F.spark_partition_id()
+        cached = []
+        for i in range(n_files):
+            cached += [
+                F.min(F.when(pid == i, F.col("doc_id"))).alias(f"fmin_{i}"),
+                F.max(F.when(pid == i, F.col("doc_id"))).alias(f"fmax_{i}"),
+                F.sum(F.when(pid == i, 1).otherwise(0)).alias(f"fcnt_{i}"),
+            ]
+        _FILE_STAT_EXPRS_CACHE[n_files] = cached
+    return cached
+
 
 _PART_RE = re.compile(r"^part-(\d{5})-.*\.parquet$")
 

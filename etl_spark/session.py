@@ -55,6 +55,12 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # list file sets on the driver up to this many paths: the manifest
+        # already KNOWS the files, so a distributed listing job (default
+        # threshold 32) is a pure per-epoch job-scheduling tax; above 2048
+        # paths (only plausible for whole-table bulk reads on object
+        # stores) the parallel listing takes over again
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

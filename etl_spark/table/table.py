@@ -182,6 +182,12 @@ class LakeTable:
         # schema_version -> first snapshot id carrying it
         # (see _snapshot_at_version)
         self._version_snap_cache: dict[int, int] = {}
+        # schema_version -> physical StructType (immutable per version);
+        # and (schema json, input columns) -> projection Column list.
+        # Both are rebuilt per load_files call otherwise — tens of py4j
+        # round-trips per epoch on the microbatch hot path.
+        self._phys_schema_cache: dict[int, StructType | None] = {}
+        self._project_cols_cache: dict[tuple, list] = {}
 
     # ------------------------------------------------------------------ DDL
 
@@ -306,10 +312,13 @@ class LakeTable:
         mergeSchema launches a footer-scan job at plan-CONSTRUCTION time on
         every load_files call — a per-epoch driver barrier that also grows
         with file count."""
+        if version in self._phys_schema_cache:
+            return self._phys_schema_cache[version]
         from pyspark.sql.types import StructField
 
         s = self._snapshot_at_version(version)
         if s is None:
+            self._phys_schema_cache[version] = None
             return None
         fields = [
             StructField(f.name, relax_nullability(f.dataType), nullable=True)
@@ -322,7 +331,9 @@ class LakeTable:
             StructField(HIDDEN_SEQ, IntegerType(), nullable=True),
             StructField(HIDDEN_DELETED, BooleanType(), nullable=True),
         ]
-        return StructType(fields)
+        out = StructType(fields)
+        self._phys_schema_cache[version] = out
+        return out
 
     def schema(self, sid: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(sid)["schema"])
@@ -385,18 +396,28 @@ class LakeTable:
     def _project(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Pin a raw file read to the versioned schema + hidden columns:
         missing (later-added) columns -> null, narrower written types cast up
-        (widen reconciliation)."""
-        proj = []
-        for f in schema.fields:
-            if f.name in df.columns:
-                proj.append(F.col(f.name).cast(relax_nullability(f.dataType)).alias(f.name))
-            else:
-                proj.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
-        for h, t in ((HIDDEN_LSN, "long"), (HIDDEN_SEQ, "int"), (HIDDEN_DELETED, "boolean")):
-            proj.append((F.col(h) if h in df.columns else F.lit(None)).cast(t).alias(h))
+        (widen reconciliation). Projection Columns cached per layout."""
+        ck = (schema.json(), tuple(df.columns))
+        proj = self._project_cols_cache.get(ck)
+        if proj is None:
+            proj = []
+            for f in schema.fields:
+                if f.name in df.columns:
+                    proj.append(F.col(f.name).cast(relax_nullability(f.dataType)).alias(f.name))
+                else:
+                    proj.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
+            for h, t in ((HIDDEN_LSN, "long"), (HIDDEN_SEQ, "int"), (HIDDEN_DELETED, "boolean")):
+                proj.append((F.col(h) if h in df.columns else F.lit(None)).cast(t).alias(h))
+            self._project_cols_cache[ck] = proj
         return df.select(*proj)
 
-    def load_files(self, file_entries: list[dict], snap: dict, apply_masks: bool = True) -> DataFrame:
+    def load_files(
+        self,
+        file_entries: list[dict],
+        snap: dict,
+        apply_masks: bool = True,
+        key_range: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
         """Read a set of file entries reconciled to ``snap``'s schema,
         including hidden columns and tombstone rows (callers filter).
 
@@ -406,6 +427,12 @@ class LakeTable:
         field ids, then all groups are projected to the versioned schema and
         unioned. With no renames in the history every group's mapping is the
         identity and this degenerates to one mergeSchema read.
+
+        ``key_range=(lo, hi)`` is a caller CONTRACT: the caller promises to
+        discard every returned row with doc_id outside [lo, hi] (read_range's
+        residual predicate). Under that promise the MoR mask is pruned to
+        winners files overlapping the range — unmasked out-of-range rows
+        can never surface.
 
         ``apply_masks=False`` skips the MoR superseded-row masking and may
         return MULTIPLE version rows per key. Only for callers that reduce
@@ -454,7 +481,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return self._apply_mor_masks(out, file_entries, snap) if apply_masks else out
+        return self._apply_mor_masks(out, file_entries, snap, key_range) if apply_masks else out
 
     def _with_file_seq(self, df: DataFrame, entries: list[dict], col: str) -> DataFrame:
         """Tag each row with its file's commit order: basename(input_file) ->
@@ -479,7 +506,13 @@ class LakeTable:
             .drop("_bn0", "_bn", "_sq")
         )
 
-    def _apply_mor_masks(self, out: DataFrame, file_entries: list[dict], snap: dict) -> DataFrame:
+    def _apply_mor_masks(
+        self,
+        out: DataFrame,
+        file_entries: list[dict],
+        snap: dict,
+        key_range: tuple[str | None, str | None] | None = None,
+    ) -> DataFrame:
         """Drop rows superseded by a newer mor-flagged file's keys (module
         docstring "Merge-on-read"). The mask is ONE column-pruned scan of
         the mor files' doc_id columns (max added_at per key), broadcast when
@@ -501,6 +534,19 @@ class LakeTable:
         if file_entries and all(f["min_key"] is not None for f in file_entries):
             lo = min(f["min_key"] for f in file_entries)
             hi = max(f["max_key"] for f in file_entries)
+        # a caller-supplied residual key range (read_range's probe) tightens
+        # the envelope further: data files are range-wide (a point probe
+        # loads a file spanning ~keyspace/n_files keys), so pruning winners
+        # by the PROBE keeps the mask O(probe-overlapping winners), not
+        # O(file-envelope-overlapping) — the 100-epoch-backlog bound
+        # (tests/test_round4_fixes.py)
+        if key_range is not None:
+            klo, khi = key_range
+            if klo is not None and (lo is None or klo > lo):
+                lo = klo
+            if khi is not None and (hi is None or khi < hi):
+                hi = khi
+        if lo is not None and hi is not None:
             mor = [
                 f
                 for f in mor
@@ -512,9 +558,11 @@ class LakeTable:
         mask_rows = self.spark.read.schema("doc_id string").parquet(
             *sorted(f["path"] for f in mor)
         )
+        # residual predicate pushed into the winners-file scan
         if lo is not None:
-            # residual predicate pushed into the winners-file scan
-            mask_rows = mask_rows.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+            mask_rows = mask_rows.where(F.col("doc_id") >= lo)
+        if hi is not None:
+            mask_rows = mask_rows.where(F.col("doc_id") <= hi)
         mask = (
             self._with_file_seq(mask_rows.select(F.col("doc_id").alias("_mkey")), mor, "_mseq")
             .groupBy("_mkey")
@@ -568,7 +616,9 @@ class LakeTable:
             keep.append(f)
         if not keep:
             return self.read(sid=sid, include_hidden=include_hidden).where(F.lit(False))
-        out = self.load_files(keep, snap).where(~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False)))
+        out = self.load_files(keep, snap, key_range=(lo, hi)).where(
+            ~F.coalesce(F.col(HIDDEN_DELETED), F.lit(False))
+        )
         if lo is not None:
             out = out.where(F.col("doc_id") >= lo)
         if hi is not None:
