@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
         default="auto",
         help="copy-on-write, merge-on-read, or auto by touched/batch ratio",
     )
+    r.add_argument(
+        "--layout",
+        choices=["range", "bucket"],
+        default="range",
+        help="physical file layout if the table is being CREATED (immutable after)",
+    )
+    r.add_argument("--n-buckets", type=int, default=64, help="bucket count for --layout bucket")
 
     s = sub.add_parser("stream")
     s.add_argument("--binlog", required=True)
@@ -99,7 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "replay":
         from etl_spark.operators.merge import merge_batch
 
-        table = LakeTable.create_if_absent(spark, args.table, TARGET_SCHEMA)
+        layout = (
+            {"type": "bucket", "n_buckets": args.n_buckets} if args.layout == "bucket" else None
+        )
+        table = LakeTable.create_if_absent(spark, args.table, TARGET_SCHEMA, layout=layout)
         buckets = sorted(
             int(re.search(r"=(\d+)$", d).group(1)) for d in glob.glob(f"{args.binlog}/lsn_bucket=*")
         )

@@ -262,8 +262,20 @@ def _merge_attempt(
 
     # ---- plan: which files does this batch touch?
     files = snap["files"]
-    plannable = [f for f in files if f["min_key"] is not None]
-    unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
+    layout = snap.get("layout") or {"type": "range"}
+    is_bucket = layout.get("type") == "bucket"
+    n_buckets = int(layout["n_buckets"]) if is_bucket else 0
+    bucket_expr = (
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int") if is_bucket else None
+    )
+    if is_bucket:
+        # bucket layout: a file is plannable iff it carries its bucket set —
+        # pruning is EXACT membership, not a range test
+        plannable = [f for f in files if f.get("buckets")]
+        unplannable = [f for f in files if not f.get("buckets")]
+    else:
+        plannable = [f for f in files if f["min_key"] is not None]
+        unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
     touched_paths: set[str] = {f["path"] for f in unplannable}
     n_changes: int | None = None
 
@@ -274,29 +286,68 @@ def _merge_attempt(
     # A bulk batch returns exactly CAP+1 rows and the driver discards them
     # — no unbounded collect; the probe's full-partition evaluation also
     # materializes the dedup cache the later jobs reuse.
+    if is_bucket:
+        # ship (key, bucket) pairs: the bucket id is a JVM xxhash64 the
+        # driver cannot recompute
+        probe_col = F.struct(F.col("doc_id"), bucket_expr.alias("_bkt")).alias("kb")
+    else:
+        probe_col = F.col("doc_id").alias("kb")
     with _aqe_off(spark):
         probe = (
-            dedup.select("doc_id")
+            dedup.select(probe_col)
             .limit(FAST_PATH_MAX_KEYS + 1)
             .groupBy()
-            .agg(F.collect_list("doc_id").alias("ks"))
+            .agg(F.collect_list("kb").alias("ks"))
             .collect()
         )
     key_rows = probe[0]["ks"] if probe else []
     batch_keys: list[str] | None = None
+    batch_buckets: set[int] | None = None
+    key_bucket: dict[str, int] | None = None
     if len(key_rows) <= FAST_PATH_MAX_KEYS:
-        batch_keys = sorted(key_rows)
-        n_changes = len(batch_keys)
-        # driver-side file-touch planning: files are range-tight (range-
-        # partitioned writes), keys are sorted — one bisect per file entry,
-        # O(F log K) on the driver, zero Spark jobs. Exactly the join
-        # predicate doc_id BETWEEN min_key AND max_key, evaluated locally.
-        import bisect
+        if is_bucket:
+            key_bucket = {r["doc_id"]: r["_bkt"] for r in key_rows}
+            batch_buckets = set(key_bucket.values())
+            batch_keys = sorted(key_bucket)
+            for f in plannable:
+                if not batch_buckets.isdisjoint(f["buckets"]):
+                    touched_paths.add(f["path"])
+        else:
+            batch_keys = sorted(key_rows)
+            # driver-side file-touch planning: files are range-tight (range-
+            # partitioned writes), keys are sorted — one bisect per file
+            # entry, O(F log K) on the driver, zero Spark jobs. Exactly the
+            # join predicate doc_id BETWEEN min_key AND max_key, locally.
+            import bisect
 
-        for f in plannable:
-            i = bisect.bisect_left(batch_keys, f["min_key"])
-            if i < len(batch_keys) and batch_keys[i] <= f["max_key"]:
-                touched_paths.add(f["path"])
+            for f in plannable:
+                i = bisect.bisect_left(batch_keys, f["min_key"])
+                if i < len(batch_keys) and batch_keys[i] <= f["max_key"]:
+                    touched_paths.add(f["path"])
+        n_changes = len(batch_keys)
+    elif plannable and is_bucket:
+        from pyspark.sql import Observation
+
+        # bulk planning, bucket layout: exact bucket-membership join —
+        # (path, bucket) pairs broadcast, equality join (no range condition)
+        stats_df = spark.createDataFrame(
+            [(f["path"], b) for f in plannable for b in f["buckets"]],
+            "path string, bucket int",
+        )
+        obs_plan = Observation(f"plan-epoch-{epoch}")
+        hits = (
+            dedup.observe(obs_plan, F.count(F.lit(1)).alias("n"))
+            .select(bucket_expr.alias("_bkt"))
+            .join(F.broadcast(stats_df), F.col("_bkt") == F.col("bucket"), "left_outer")
+            .select("path")
+            .distinct()
+            .collect()
+        )
+        touched_paths |= {r["path"] for r in hits if r["path"] is not None}
+        try:
+            n_changes = obs_plan.get["n"]
+        except Exception:
+            n_changes = dedup.count()
     elif plannable:
         from pyspark.sql import Observation
 
@@ -549,8 +600,10 @@ def _merge_attempt(
     # heavy resolve join) persists it and the sampler materializes the
     # cache for the write. The MoR path skips the cache: its resolve is a
     # pair of batch-sized broadcast joins, cheaper to recompute than to
-    # serialize through the block store.
-    persisted = not use_mor
+    # serialize through the block store. Bucket layout also skips it: a
+    # hash exchange has no sampling pass, so resolved is evaluated ONCE —
+    # the write-amplification cost the bucket layout exists to remove.
+    persisted = not use_mor and not is_bucket
     if persisted:
         resolved = resolved.persist()
     stage: str | None = None
@@ -596,26 +649,57 @@ def _merge_attempt(
         # Iceberg-style, and the written data is never rescanned. Guarded to
         # a bounded file count (conditional-aggregate width grows with
         # n_files); beyond it the one distributed stats scan is the fallback.
-        obs_file_stats = n_files <= MAX_OBSERVED_STAT_FILES
-        if obs_file_stats:
-            metric_exprs += _file_stat_exprs(n_files)
         out_cols = ["doc_id", *payload_names, HIDDEN_LSN, HIDDEN_SEQ, HIDDEN_DELETED]
         metric_cols = ["_applied", "_is_delete", "_existed", "_was_live", "_chg_lsn"]
-        writer = (
-            write_input.select(*out_cols, *metric_cols)
-            .repartitionByRange(n_files, "doc_id")
-            # observe sits ABOVE the range exchange: the boundary-sampling
-            # job only executes the exchange's child, so the metrics are
-            # evaluated exactly once — in the write job (a CollectMetrics
-            # below the exchange would be executed by both passes and
-            # double-count; caught by the cdc_lineage_counts oracle)
-            .observe(obs, *metric_exprs)
-            .drop(*metric_cols)
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-        )
+        # MoR winners on a bucket table are NOT bucket-partitioned: a
+        # spread microbatch hashes into every bucket, so bucketing the
+        # winners would fan one batch-sized write into n_buckets tiny files
+        # per epoch (measured 2.5x the epoch wall). Winners take the
+        # compact size-driven write; their manifest entries still carry the
+        # bucket SET (from the collected key->bucket pairs, or the stats
+        # scan for bulk forced-MoR), so bucket pruning and the bucket-local
+        # compaction closure stay exact. Compaction then re-buckets them.
+        write_bucketed = is_bucket and not use_mor
+        if write_bucketed:
+            # bucket layout: plain hash exchange on the bucket id — no
+            # boundary sampler, no double evaluation; every row lands in
+            # its key's fixed bucket, per-bucket stats (count/min/max AND
+            # the output partition the bucket landed in) ride the write
+            obs_file_stats = n_buckets <= MAX_OBSERVED_STAT_FILES
+            if obs_file_stats:
+                metric_exprs += _bucket_stat_exprs(n_buckets)
+            writer = (
+                write_input.select(*out_cols, *metric_cols)
+                .withColumn("_bucket", bucket_expr)
+                .repartition(n_buckets, "_bucket")
+                .observe(obs, *metric_exprs)
+                .drop(*metric_cols, "_bucket")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+            )
+        else:
+            # bulk forced-MoR on a bucket table has no collected key set to
+            # derive bucket tags from — only the stats scan can supply them
+            obs_file_stats = n_files <= MAX_OBSERVED_STAT_FILES and not (
+                is_bucket and key_bucket is None
+            )
+            if obs_file_stats:
+                metric_exprs += _file_stat_exprs(n_files)
+            writer = (
+                write_input.select(*out_cols, *metric_cols)
+                .repartitionByRange(n_files, "doc_id")
+                # observe sits ABOVE the range exchange: the boundary-
+                # sampling job only executes the exchange's child, so the
+                # metrics are evaluated exactly once — in the write job (a
+                # CollectMetrics below the exchange would be executed by
+                # both passes and double-count; cdc_lineage_counts oracle)
+                .observe(obs, *metric_exprs)
+                .drop(*metric_cols)
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+            )
         _t = _phase("wbuild", _t)
-        if use_mor and batch_keys is not None:
+        if batch_keys is not None and (use_mor or is_bucket):
             # microbatch fast path: AQE's stage-replan loop costs more than
             # it could ever save on batch-sized shuffles; with it off the
             # resolve+write runs as one job (FAST_PATH_MAX_KEYS comment)
@@ -646,10 +730,24 @@ def _merge_attempt(
         rows_upserted = sum(r["rows_upserted"] for r in lineage)
         rows_deleted = sum(r["rows_deleted"] for r in lineage)
         add_files = None
-        if obs_file_stats:
+        if obs_file_stats and write_bucketed:
+            add_files = _files_from_bucket_observation(m, stage, n_buckets, snap["schema_version"])
+        elif obs_file_stats:
             add_files = _files_from_observation(m, stage, n_files, snap["schema_version"])
+            if add_files is not None and is_bucket and key_bucket is not None:
+                # MoR winners under bucket layout: tag each (range-written,
+                # min/max-tight) file with the bucket set of the batch keys
+                # inside its range — exact, winners keys ⊆ collected keys
+                import bisect
+
+                for f in add_files:
+                    i = bisect.bisect_left(batch_keys, f["min_key"])
+                    j = bisect.bisect_right(batch_keys, f["max_key"])
+                    f["buckets"] = sorted({key_bucket[k] for k in batch_keys[i:j]})
         if add_files is None:
-            add_files = _collect_file_stats(table, stage, snap["schema_version"])
+            add_files = _collect_file_stats(
+                table, stage, snap["schema_version"], n_buckets=n_buckets if is_bucket else None
+            )
         _t = _phase("stats", _t)
         if use_mor:
             # the winners file doubles as the equality-delete mask: readers
@@ -672,6 +770,10 @@ def _merge_attempt(
             untouched = [f for f in files if f["path"] not in touched_paths]
 
             def _overlaps(a: dict, b: dict) -> bool:
+                if a.get("buckets") and b.get("buckets"):
+                    # bucket layout: copies of a key live only in same-bucket
+                    # files — disjoint bucket sets cannot share a key
+                    return not set(a["buckets"]).isdisjoint(b["buckets"])
                 if a["min_key"] is None or b["min_key"] is None:
                     return True  # no stats -> cannot prove disjoint
                 return a["max_key"] >= b["min_key"] and a["min_key"] <= b["max_key"]
@@ -765,6 +867,79 @@ def _file_stat_exprs(n_files: int) -> list:
     return cached
 
 
+_BUCKET_STAT_EXPRS_CACHE: dict[int, list] = {}
+
+
+def _bucket_stat_exprs(n_buckets: int) -> list:
+    """Per-BUCKET write stats: count/min/max of doc_id plus the output
+    partition the bucket landed in (a bucket's rows all share one partition
+    of the hash exchange, so max(pid) IS that partition — and partition p
+    becomes file part-{p:05d})."""
+    cached = _BUCKET_STAT_EXPRS_CACHE.get(n_buckets)
+    if cached is None:
+        pid = F.spark_partition_id()
+        cached = []
+        for b in range(n_buckets):
+            inb = F.col("_bucket") == b
+            cached += [
+                F.min(F.when(inb, F.col("doc_id"))).alias(f"bmin_{b}"),
+                F.max(F.when(inb, F.col("doc_id"))).alias(f"bmax_{b}"),
+                F.sum(F.when(inb, 1).otherwise(0)).alias(f"bcnt_{b}"),
+                F.max(F.when(inb, pid)).alias(f"bpart_{b}"),
+            ]
+        _BUCKET_STAT_EXPRS_CACHE[n_buckets] = cached
+    return cached
+
+
+def _files_from_bucket_observation(
+    metrics: dict, stage: str, n_buckets: int, schema_version: int
+) -> list[dict] | None:
+    """Manifest entries for a bucket-layout write from the write job's own
+    per-bucket metrics: buckets are grouped by the output partition they
+    landed in (hash collisions may co-locate several buckets in one file);
+    each partition p with rows maps to file part-{p:05d}. Returns None if
+    the on-disk files don't reconcile (caller falls back to the scan)."""
+    by_index: dict[int, str] = {}
+    for fn in os.listdir(stage):
+        mm = _PART_RE.match(fn)
+        if mm:
+            idx = int(mm.group(1))
+            if idx in by_index:
+                return None  # index->file bijection broken (maxRecordsPerFile)
+            by_index[idx] = fn
+    part_buckets: dict[int, list[int]] = {}
+    for b in range(n_buckets):
+        if metrics.get(f"bcnt_{b}"):
+            p = metrics[f"bpart_{b}"]
+            part_buckets.setdefault(p, []).append(b)
+    add_files = []
+    for p, bs in sorted(part_buckets.items()):
+        fn = by_index.pop(p, None)
+        if fn is None:
+            return None  # rows observed but no file — reconcile via scan
+        add_files.append(
+            {
+                "path": os.path.abspath(os.path.join(stage, fn)),
+                "rows": sum(metrics[f"bcnt_{b}"] for b in bs),
+                "min_key": min(metrics[f"bmin_{b}"] for b in bs),
+                "max_key": max(metrics[f"bmax_{b}"] for b in bs),
+                "buckets": bs,
+                "schema_version": schema_version,
+            }
+        )
+    for idx, fn in by_index.items():
+        # empty partition: Spark normally writes no file; remove schema-only
+        # stragglers — but NEVER a file that holds rows the metrics missed
+        # (that would silently commit data away; reconcile via scan instead)
+        import pyarrow.parquet as pq
+
+        full = os.path.join(stage, fn)
+        if pq.read_metadata(full).num_rows != 0:
+            return None
+        os.remove(full)
+    return add_files
+
+
 _PART_RE = re.compile(r"^part-(\d{5})-.*\.parquet$")
 
 
@@ -815,7 +990,9 @@ def _files_from_observation(
     return add_files
 
 
-def _collect_file_stats(table: LakeTable, stage: str, schema_version: int) -> list[dict]:
+def _collect_file_stats(
+    table: LakeTable, stage: str, schema_version: int, n_buckets: int | None = None
+) -> list[dict]:
     """Per-file (rows, min/max doc_id) for every file the apply wrote — the
     manifest entries that drive the next merge's copy-on-write pruning.
 
@@ -826,28 +1003,36 @@ def _collect_file_stats(table: LakeTable, stage: str, schema_version: int) -> li
     the round-1 per-epoch serial fraction. Files are tagged with the
     schema_version they were written under so rename-aware reads can
     resolve their column names by field id."""
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+    ]
+    if n_buckets is not None:
+        aggs.append(
+            F.sort_array(
+                F.collect_set(F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+            ).alias("buckets")
+        )
     rows = (
         table.spark.read.parquet(stage)
         .groupBy(F.input_file_name().alias("uri"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min("doc_id").alias("min_key"),
-            F.max("doc_id").alias("max_key"),
-        )
+        .agg(*aggs)
         .collect()
     )
     add_files = []
     for r in rows:
         path = urllib.parse.unquote(urllib.parse.urlparse(r["uri"]).path)
-        add_files.append(
-            {
-                "path": path,
-                "rows": r["rows"],
-                "min_key": r["min_key"],
-                "max_key": r["max_key"],
-                "schema_version": schema_version,
-            }
-        )
+        entry = {
+            "path": path,
+            "rows": r["rows"],
+            "min_key": r["min_key"],
+            "max_key": r["max_key"],
+            "schema_version": schema_version,
+        }
+        if n_buckets is not None:
+            entry["buckets"] = list(r["buckets"])
+        add_files.append(entry)
     add_files.sort(key=lambda d: d["path"])
     # a partition that received no rows writes no file; any zero-row parquet
     # Spark still creates (the all-empty-write case) is untracked — remove it

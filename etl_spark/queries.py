@@ -228,6 +228,42 @@ def q_cdc_replay_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "value_cents", "source")
 
 
+@register("cdc_replay_merge_bucket", _REPLAY_ORACLE)
+def q_cdc_replay_merge_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay into a BUCKET-layout table (layout={'type':'bucket'}:
+    files keyed by pmod(xxhash64(doc_id), B); planning prunes by exact
+    bucket membership, the apply write is a plain hash exchange with no
+    boundary-sampler pass, MoR compaction closes bucket-locally). One epoch
+    runs forced-MoR so winners-file bucket tagging and the masked read are
+    on the attested path; final state must equal the SQL LWW apply."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _feed(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_replay_bucket_")
+    table = LakeTable.create_if_absent(
+        spark, root, schema, layout={"type": "bucket", "n_buckets": 8}
+    )
+    hi = feed.agg(F.max("commit_lsn")).collect()[0][0] or 0
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut1), epoch=0)
+    merge_batch(
+        table,
+        feed.where((F.col("commit_lsn") > cut1) & (F.col("commit_lsn") <= cut2)),
+        epoch=1,
+        merge_mode="mor",
+    )
+    merge_batch(table, feed.where(F.col("commit_lsn") > cut2), epoch=2)
+    merge_batch(table, feed.where(F.col("commit_lsn") <= cut1), epoch=0)  # fenced no-op
+    return table.read().select("doc_id", "value_cents", "source")
+
+
 @register("cdc_stream_replay", _REPLAY_ORACLE)
 def q_cdc_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same replay through the real Structured Streaming tail
@@ -1929,6 +1965,9 @@ _DEFERRED = (
     # pytest-pinned (tests/test_components.py)
     "dedup_connected_components",
     "dedup_simhash_pairs",  # r3-attested; dedup_simhash (its consumer) stays in-window
+    # r3-attested; same window machinery as win_lag_delta (in-window); slot
+    # freed for the new cdc_replay_merge_bucket entry
+    "win_running_total",
 )
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEFERRED},

@@ -69,6 +69,8 @@ def _rewrite(
     covers only hard crashes)."""
     import shutil as _shutil
 
+    import pyspark.sql.functions as F
+
     from etl_spark.operators.merge import _collect_file_stats
 
     spark = table.spark
@@ -76,15 +78,33 @@ def _rewrite(
     sid_next = table.head_id() + 1
     stage = table.stage_dir(sid_next)
     committed = False
+    layout = table.layout(expect_parent)
     try:
-        n_files = max(1, min(spark.sparkContext.defaultParallelism, (n_rows // target_rows_per_file) + 1))
-        (
-            df.repartitionByRange(n_files, "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        add_files = _collect_file_stats(table, stage, table.snapshot(expect_parent)["schema_version"])
+        if layout.get("type") == "bucket":
+            # preserve the table's bucket layout: rewrite through the same
+            # hash exchange the merge apply uses (no sampler, rows stay in
+            # their key's fixed bucket)
+            n_buckets = int(layout["n_buckets"])
+            (
+                df.withColumn("_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+                .repartition(n_buckets, "_bucket")
+                .drop("_bucket")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            add_files = _collect_file_stats(
+                table, stage, table.snapshot(expect_parent)["schema_version"], n_buckets=n_buckets
+            )
+        else:
+            n_files = max(1, min(spark.sparkContext.defaultParallelism, (n_rows // target_rows_per_file) + 1))
+            (
+                df.repartitionByRange(n_files, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            add_files = _collect_file_stats(table, stage, table.snapshot(expect_parent)["schema_version"])
         if mor_flag:
             for f in add_files:
                 f["mor"] = True
@@ -144,8 +164,20 @@ def compact_mor(table: LakeTable, target_rows_per_file: int = 1_000_000) -> int 
     if not mor:
         return None
     touched = {f["path"] for f in mor}
+    is_bucket = table.layout(snap["snapshot_id"]).get("type") == "bucket"
+    mor_buckets = set()
+    if is_bucket and all(m.get("buckets") for m in mor):
+        for m in mor:
+            mor_buckets.update(m["buckets"])
     for f in files:
         if f["path"] in touched:
+            continue
+        if mor_buckets and f.get("buckets"):
+            # bucket layout: a masked key's older copies live only in files
+            # sharing its bucket — the closure is BUCKET-LOCAL, so debt in
+            # one bucket never rewrites the others
+            if not mor_buckets.isdisjoint(f["buckets"]):
+                touched.add(f["path"])
             continue
         if f["min_key"] is None:
             touched.add(f["path"])  # no stats -> cannot prune

@@ -192,12 +192,35 @@ class LakeTable:
     # ------------------------------------------------------------------ DDL
 
     @classmethod
-    def create_if_absent(cls, spark: SparkSession, root: str, schema: StructType) -> "LakeTable":
+    def create_if_absent(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: StructType,
+        layout: dict | None = None,
+    ) -> "LakeTable":
         """Idempotent create (reference K2: existence check before DDL,
-        ``PostGISFeatureWriterService.scala:44``)."""
+        ``PostGISFeatureWriterService.scala:44``).
+
+        ``layout`` fixes the table's physical file layout at creation
+        (immutable — every writer must agree on it):
+        - None / ``{"type": "range"}``: range-partitioned files on doc_id
+          (the default; tight per-file key ranges, range reads prune).
+        - ``{"type": "bucket", "n_buckets": B}``: hash-bucketed files on
+          ``pmod(xxhash64(doc_id), B)``. Planning prunes by EXACT bucket
+          membership, the apply write is a plain hash exchange (no
+          boundary-sampler pass, so nothing is evaluated twice), and
+          MoR compaction closes over buckets instead of key ranges
+          (bucket-local rewrites). Trade-off: range reads can no longer
+          prune files by key interval."""
         t = cls(spark, root)
         if t.exists():
             return t
+        if layout is not None:
+            if layout.get("type") not in ("range", "bucket"):
+                raise ValueError(f"unknown layout type {layout!r}")
+            if layout["type"] == "bucket" and not (1 <= int(layout.get("n_buckets", 0))):
+                raise ValueError("bucket layout needs n_buckets >= 1")
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         commit = {
@@ -209,6 +232,7 @@ class LakeTable:
             # renames change a field's NAME, never its id, so files written
             # under the old name remain readable by id
             "field_ids": {f.name: i for i, f in enumerate(schema.fields)},
+            "layout": layout or {"type": "range"},
             "files": [],
             "fences": [],
             "lineage": [],
@@ -340,6 +364,10 @@ class LakeTable:
 
     def files(self, sid: int | None = None) -> list[dict]:
         return self.snapshot(sid)["files"]
+
+    def layout(self, sid: int | None = None) -> dict:
+        """Physical layout descriptor (pre-layout tables read as range)."""
+        return self.snapshot(sid).get("layout") or {"type": "range"}
 
     def stats(self, sid: int | None = None) -> dict:
         """Operator-facing snapshot stats from metadata only (no data scan):
@@ -525,6 +553,20 @@ class LakeTable:
         mor = [f for f in snap["files"] if f.get("mor")]
         if not mor:
             return out
+        # bucket layout: a loaded row's superseding winner can only live in
+        # a file sharing one of the loaded buckets — exact set pruning
+        loaded_buckets: set[int] = set()
+        if all(f.get("buckets") for f in file_entries):
+            for f in file_entries:
+                loaded_buckets.update(f["buckets"])
+        if loaded_buckets:
+            mor = [
+                f
+                for f in mor
+                if not f.get("buckets") or not loaded_buckets.isdisjoint(f["buckets"])
+            ]
+            if not mor:
+                return out
         # prune the mask to the loaded subset's key envelope: every loaded
         # row's key lies within [lo, hi] (file stats), so mask keys outside
         # it cannot match — a point/range read masks against O(overlapping)
@@ -731,6 +773,7 @@ class LakeTable:
             "schema_version": psnap["schema_version"] + (1 if new_schema is not None else 0),
             "schema": json.loads(new_schema.json()) if new_schema is not None else psnap["schema"],
             "field_ids": new_field_ids if new_field_ids is not None else self.field_ids(parent),
+            "layout": psnap.get("layout") or {"type": "range"},
             "files": files,
             "fences": fences or [],
             "lineage": lineage or [],

@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--micro-events", type=int, default=5_000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--merge-mode", default="auto")
+    ap.add_argument("--layout", default="range", choices=["range", "bucket"])
+    ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args()
 
     from etl_spark.datagen import BinlogSpec, generate_binlog
@@ -61,7 +63,10 @@ def main() -> None:
             micro_dirs.append(d)
 
         tdir = os.path.join(root, "table")
-        table = LakeTable.create_if_absent(spark, tdir, TARGET_SCHEMA)
+        layout = (
+            {"type": "bucket", "n_buckets": args.buckets} if args.layout == "bucket" else None
+        )
+        table = LakeTable.create_if_absent(spark, tdir, TARGET_SCHEMA, layout=layout)
         merge_batch(table, spark.read.parquet(bulk_dir), epoch=0)
 
         import etl_spark.operators.merge as merge_mod
@@ -92,6 +97,7 @@ def main() -> None:
         out = {
             "metric": "per_epoch_fixed_cost_sec",
             "merge_mode": args.merge_mode,
+            "layout": args.layout,
             "table_events": args.table_events,
             "micro_epochs": args.micro_epochs,
             "micro_events": args.micro_events,
