@@ -594,16 +594,43 @@ def _merge_attempt(
     else:
         resolved = _changes_only_rows(dedup)
 
+    # ---- size the apply write (before the persist decision, which keys on
+    # whether a boundary sampler will exist at all)
+    par = spark.sparkContext.defaultParallelism
+    if use_mor:
+        # batch-sized winners-only write: sized by n_changes with NO
+        # parallelism floor — a microbatch must not fragment into `par`
+        # near-empty files every epoch (that debt is exactly what MoR
+        # avoids); forced-mor bulk batches still fan out by size.
+        est_rows = n_changes if n_changes is not None else target_rows_per_file // 10
+        n_files = max(1, (est_rows // target_rows_per_file) + 1)
+    else:
+        # file count: ~target_rows_per_file rows each. Bulk batches floor at
+        # cluster parallelism so the apply write always uses every core — a
+        # single write partition is a serial fraction that caps scaling
+        # (Amdahl). MICRObatches (batch_keys collected) drop the floor: a
+        # small touched slice must not fragment into `par` near-empty files
+        # per epoch — >=~100k rows per file up to `par`, and a genuinely
+        # tiny slice writes ONE file, which also removes the range
+        # boundary-sampler pass entirely. Sized from what this write
+        # actually contains — the touched slice plus the batch — NOT the
+        # whole table's row count.
+        est_rows = touched_rows + (n_changes if n_changes is not None else target_rows_per_file // 10)
+        if batch_keys is not None:
+            n_files = max(1, min(par, est_rows // 100_000), (est_rows // target_rows_per_file) + 1)
+        else:
+            n_files = max(par, (est_rows // target_rows_per_file) + 1)
+
     # Although only one ACTION consumes resolved, the range write evaluates
-    # it TWICE — repartitionByRange's boundary-sampling pass executes the
-    # exchange child before the write tasks do — so the CoW path (payload-
-    # heavy resolve join) persists it and the sampler materializes the
-    # cache for the write. The MoR path skips the cache: its resolve is a
-    # pair of batch-sized broadcast joins, cheaper to recompute than to
-    # serialize through the block store. Bucket layout also skips it: a
-    # hash exchange has no sampling pass, so resolved is evaluated ONCE —
-    # the write-amplification cost the bucket layout exists to remove.
-    persisted = not use_mor and not is_bucket
+    # it TWICE when n_files > 1 — repartitionByRange's boundary-sampling
+    # pass executes the exchange child before the write tasks do — so the
+    # CoW path (payload-heavy resolve join) persists it and the sampler
+    # materializes the cache for the write. The MoR path skips the cache:
+    # its resolve is a pair of batch-sized broadcast joins, cheaper to
+    # recompute than to serialize through the block store. Bucket layout
+    # also skips it (hash exchange, no sampling pass), as does a
+    # single-file write (repartitionByRange(1) plans no sampler).
+    persisted = not use_mor and not is_bucket and n_files > 1
     if persisted:
         resolved = resolved.persist()
     stage: str | None = None
@@ -621,26 +648,9 @@ def _merge_attempt(
         # ---- apply: range-partition on the merge key, write, collect stats
         sid_next = head0 + 1
         stage = table.stage_dir(sid_next)
-        par = spark.sparkContext.defaultParallelism
         if use_mor:
-            # batch-sized winners-only write: sized by n_changes with NO
-            # parallelism floor — a microbatch must not fragment into `par`
-            # near-empty files every epoch (that debt is exactly what MoR
-            # avoids); forced-mor bulk batches still fan out by size.
-            est_rows = n_changes if n_changes is not None else target_rows_per_file // 10
-            n_files = max(1, (est_rows // target_rows_per_file) + 1)
             write_input = resolved.where(F.col("_applied"))
         else:
-            # file count: ~target_rows_per_file rows each, floored at cluster
-            # parallelism so the apply write always uses every core — a single
-            # write partition is a serial fraction that caps scaling (Amdahl);
-            # compaction (table/maintenance.py) re-packs small files later.
-            # Sized from what this write actually contains — the touched slice
-            # plus the batch (n_changes, already measured by the planning
-            # Observation) — NOT the whole table's row count, so microbatches
-            # against a big table don't fragment into table_rows/target files.
-            est_rows = touched_rows + (n_changes if n_changes is not None else target_rows_per_file // 10)
-            n_files = max(par, (est_rows // target_rows_per_file) + 1)
             write_input = resolved
         # manifest stats ride the SAME Observation as the lineage metrics:
         # after the range exchange, output partition i becomes file
@@ -699,7 +709,7 @@ def _merge_attempt(
                 .write.mode("overwrite")
             )
         _t = _phase("wbuild", _t)
-        if batch_keys is not None and (use_mor or is_bucket):
+        if batch_keys is not None and (use_mor or is_bucket or n_files == 1):
             # microbatch fast path: AQE's stage-replan loop costs more than
             # it could ever save on batch-sized shuffles; with it off the
             # resolve+write runs as one job (FAST_PATH_MAX_KEYS comment)

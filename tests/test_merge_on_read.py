@@ -123,7 +123,8 @@ def test_compact_does_not_unmask_victims(spark, tmp_table_dir):
     (higher-seq) file must keep masking the old copies of its keys — the
     output inherits the mor flag unless the compaction covered every file."""
     table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
-    merge_batch(table, _bulk(spark, 2000), epoch=0)
+    # multi-file layout needed so files exist outside the mor envelope
+    merge_batch(table, _bulk(spark, 2000), epoch=0, target_rows_per_file=500)
     for e in range(1, 4):
         merge_batch(
             table,
@@ -169,7 +170,8 @@ def test_compact_mor_sheds_all_masks_without_full_rewrite(spark, tmp_table_dir):
     from etl_spark.table.maintenance import compact_mor, maybe_compact_mor
 
     table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
-    merge_batch(table, _bulk(spark, 2000), epoch=0)
+    # multi-file layout needed so files exist outside the mor envelope
+    merge_batch(table, _bulk(spark, 2000), epoch=0, target_rows_per_file=500)
     for e in range(1, 4):
         merge_batch(
             table,

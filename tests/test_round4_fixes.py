@@ -53,7 +53,9 @@ def test_mor_then_cow_interleave_does_not_resurrect(spark, tmp_table_dir):
     middle range — the CoW rewrite removes the winners file. The stale
     end-key rows in untouched files must STAY masked."""
     table = LakeTable.create_if_absent(spark, tmp_table_dir, SCHEMA)
-    merge_batch(table, _bulk(spark, 2000), epoch=0)  # CoW bulk, many files
+    # target_rows_per_file forces a multi-file layout: small bulk loads
+    # otherwise take the microbatch single-file write (round-4 sizing)
+    merge_batch(table, _bulk(spark, 2000), epoch=0, target_rows_per_file=500)
     assert len(table.files()) > 2
 
     # winners file spans k00100..k01900 — overlaps (almost) every data file
