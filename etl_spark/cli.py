@@ -14,6 +14,8 @@ Subcommands:
   stream   Structured-Streaming tail (AvailableNow) with checkpoint resume
   compact  small-file compaction on a table (--mor: targeted winners-file
            debt compaction that sheds the merge-on-read masks)
+  migrate-layout  rewrite every live file under a different physical layout
+           (range <-> bucket) and flip the descriptor atomically
   evolve   metadata-only schema evolution: add / widen / rename columns
   lineage  print the table's lineage ledger + exactly-once coverage report
 """
@@ -73,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--table", required=True)
     c.add_argument("--small-file-rows", type=int, default=100_000)
     c.add_argument("--mor", action="store_true", help="compact the MoR winners files + their victims instead")
+
+    ml = sub.add_parser("migrate-layout")
+    ml.add_argument("--table", required=True)
+    ml.add_argument("--layout", choices=["range", "bucket"], required=True)
+    ml.add_argument("--n-buckets", type=int, default=64)
 
     ev = sub.add_parser("evolve")
     ev.add_argument("--table", required=True)
@@ -163,6 +170,19 @@ def main(argv: list[str] | None = None) -> int:
         else:
             sid = compact(table, small_file_rows=args.small_file_rows)
         print(json.dumps({"snapshot": sid}))
+        return 0
+
+    if args.cmd == "migrate-layout":
+        from etl_spark.table.maintenance import migrate_layout
+
+        table = LakeTable(spark, args.table)
+        new_layout = (
+            {"type": "bucket", "n_buckets": args.n_buckets}
+            if args.layout == "bucket"
+            else {"type": "range"}
+        )
+        sid = migrate_layout(table, new_layout)
+        print(json.dumps({"snapshot": sid, "layout": table.layout()}))
         return 0
 
     if args.cmd == "evolve":

@@ -57,6 +57,8 @@ def _rewrite(
     summary: dict,
     mor_flag: bool = False,
     expect_parent: int | None = None,
+    layout_override: dict | None = None,
+    commit_new_layout: dict | None = None,
 ) -> int:
     """Stage + commit a maintenance rewrite, pinned to the snapshot it
     planned against: without ``expect_parent``, a MERGE landing between the
@@ -78,7 +80,7 @@ def _rewrite(
     sid_next = table.head_id() + 1
     stage = table.stage_dir(sid_next)
     committed = False
-    layout = table.layout(expect_parent)
+    layout = layout_override if layout_override is not None else table.layout(expect_parent)
     try:
         if layout.get("type") == "bucket":
             # preserve the table's bucket layout: rewrite through the same
@@ -112,6 +114,7 @@ def _rewrite(
             add_files=add_files,
             remove_paths=remove_paths,
             summary=summary,
+            new_layout=commit_new_layout,
             expect_parent=expect_parent,
         )
         committed = True
@@ -235,6 +238,48 @@ def rewrite_table(table: LakeTable, target_rows_per_file: int = 1_000_000) -> in
         summary={"maintenance": "rewrite_table", "files_in": len(snap["files"])},
         mor_flag=False,
         expect_parent=snap["snapshot_id"],
+    )
+
+
+def migrate_layout(
+    table: LakeTable, new_layout: dict, target_rows_per_file: int = 1_000_000
+) -> int | None:
+    """Rewrite every live file under a DIFFERENT physical layout and flip the
+    table's layout descriptor in the same atomic commit (Iceberg's
+    partition-spec evolution, compressed to the rewrite-everything form this
+    engine needs: unlike Iceberg, the planner assumes every live file obeys
+    the current layout, so old-layout files must not linger).
+
+    Reads through the masked loader, so MoR debt is applied and shed by the
+    migration; pinned to its planning snapshot (a concurrent merge refuses
+    the commit and the caller retries). Returns the new snapshot id, or None
+    when the table already has exactly that layout. An EMPTY table flips its
+    descriptor metadata-only."""
+    if new_layout.get("type") not in ("range", "bucket"):
+        raise ValueError(f"unknown layout type {new_layout!r}")
+    if new_layout["type"] == "bucket" and not (1 <= int(new_layout.get("n_buckets", 0))):
+        raise ValueError("bucket layout needs n_buckets >= 1")
+    snap = table.snapshot()
+    if table.layout(snap["snapshot_id"]) == new_layout:
+        return None
+    if not snap["files"]:
+        return table.commit(
+            add_files=[],
+            new_layout=new_layout,
+            summary={"maintenance": "migrate_layout", "to": new_layout},
+            expect_parent=snap["snapshot_id"],
+        )
+    df = table.load_files(snap["files"], snap)
+    return _rewrite(
+        table,
+        df,
+        remove_paths={f["path"] for f in snap["files"]},
+        target_rows_per_file=target_rows_per_file,
+        summary={"maintenance": "migrate_layout", "to": new_layout},
+        mor_flag=False,
+        expect_parent=snap["snapshot_id"],
+        layout_override=new_layout,
+        commit_new_layout=new_layout,
     )
 
 

@@ -747,6 +747,7 @@ class LakeTable:
         lineage: list[dict] | None = None,
         new_schema: StructType | None = None,
         new_field_ids: dict[str, int] | None = None,
+        new_layout: dict | None = None,
         summary: dict | None = None,
         expect_parent: int | None = None,
     ) -> int:
@@ -773,7 +774,7 @@ class LakeTable:
             "schema_version": psnap["schema_version"] + (1 if new_schema is not None else 0),
             "schema": json.loads(new_schema.json()) if new_schema is not None else psnap["schema"],
             "field_ids": new_field_ids if new_field_ids is not None else self.field_ids(parent),
-            "layout": psnap.get("layout") or {"type": "range"},
+            "layout": new_layout if new_layout is not None else (psnap.get("layout") or {"type": "range"}),
             "files": files,
             "fences": fences or [],
             "lineage": lineage or [],

@@ -202,6 +202,59 @@ def test_bucket_mor_then_cow_does_not_resurrect(spark, tmp_table_dir):
     assert len(got) == 2000
 
 
+def test_migrate_layout_round_trip(spark, tmp_table_dir):
+    """range -> bucket -> range migration: one atomic rewrite each way,
+    state identical throughout, MoR debt applied+shed by the migration, and
+    post-migration merges plan under the NEW layout."""
+    from etl_spark.table.maintenance import migrate_layout
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, TARGET_SCHEMA)
+    feed = spark.range(3000).select(
+        F.format_string("k%05d", F.col("id")).alias("doc_id"),
+        F.col("id").alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.lit("U").alias("op"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    merge_batch(table, feed, epoch=0, target_rows_per_file=800)
+    # leave MoR debt on the table before migrating
+    upd = spark.createDataFrame(
+        [("k00007", 90_000, 0, "U", [77], 1, "m")],
+        "doc_id string, commit_lsn long, op_seq int, op string, tokens array<int>, n_tok int, source string",
+    )
+    assert merge_batch(table, upd, epoch=1, merge_mode="mor").mode == "mor"
+    before = {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()}
+    assert before["k00007"] == [77]
+
+    sid = migrate_layout(table, {"type": "bucket", "n_buckets": 8})
+    assert sid is not None
+    assert table.layout() == {"type": "bucket", "n_buckets": 8}
+    assert all(f.get("buckets") for f in table.files())
+    assert not any(f.get("mor") for f in table.files())  # debt shed
+    assert {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()} == before
+    # idempotent: same layout -> no-op
+    assert migrate_layout(table, {"type": "bucket", "n_buckets": 8}) is None
+
+    # a merge after migration plans by bucket (only same-bucket files touched)
+    files0 = {f["path"] for f in table.files()}
+    upd2 = spark.createDataFrame(
+        [("k00100", 95_000, 0, "U", [5], 1, "c")],
+        "doc_id string, commit_lsn long, op_seq int, op string, tokens array<int>, n_tok int, source string",
+    )
+    r = merge_batch(table, upd2, epoch=2, merge_mode="cow")
+    assert r.files_rewritten < len(files0)
+
+    # back to range: files carry tight key ranges again, no bucket tags
+    sid2 = migrate_layout(table, {"type": "range"})
+    assert sid2 is not None and table.layout() == {"type": "range"}
+    assert all(f.get("min_key") is not None and not f.get("buckets") for f in table.files())
+    got = {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()}
+    assert got["k00100"] == [5]
+    assert len(got) == 3000
+
+
 def test_bucket_schema_evolution(spark, tmp_table_dir):
     table = LakeTable.create_if_absent(spark, tmp_table_dir, TARGET_SCHEMA, layout=BUCKET)
     feed = spark.range(50).select(
