@@ -128,6 +128,48 @@ def test_tokens_transforms_stay_codegen(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_microbatch_mor_epoch_runs_exactly_two_jobs(spark, tmp_table_dir):
+    """The microbatch fast path's defining property, asserted mechanically:
+    a MoR microbatch epoch launches exactly 2 Spark jobs — the bounded keys
+    probe and the fused resolve+write — independent of table size. Every
+    extra job is per-epoch scheduling tax (~0.25-0.4 s each on this class of
+    hardware); 12 jobs/epoch was the round-3 fixed-cost floor."""
+    import pyspark.sql.functions as F
+
+    from etl_spark.operators.merge import merge_batch
+    from etl_spark.schema import TARGET_SCHEMA
+    from etl_spark.table import LakeTable
+
+    table = LakeTable.create_if_absent(spark, tmp_table_dir, TARGET_SCHEMA)
+    bulk = spark.range(60_000).select(
+        F.format_string("doc_%07d", F.col("id")).alias("doc_id"),
+        F.col("id").alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.lit("U").alias("op"),
+        F.sequence(F.lit(1), F.lit(8)).cast("array<int>").alias("tokens"),
+        F.lit(8).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    merge_batch(table, bulk, epoch=0, target_rows_per_file=10_000)
+    assert len(table.files()) > 2
+
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    micro = spark.range(500).select(
+        F.format_string("doc_%07d", F.col("id") * 100).alias("doc_id"),
+        (F.col("id") + 1_000_000).alias("commit_lsn"),
+        F.lit(0).alias("op_seq"),
+        F.lit("U").alias("op"),
+        F.sequence(F.lit(1), F.lit(4)).cast("array<int>").alias("tokens"),
+        F.lit(4).alias("n_tok"),
+        F.lit("m").alias("source"),
+    )
+    n0 = len(tracker.getJobIdsForGroup(None))
+    r = merge_batch(table, micro, epoch=1, merge_mode="mor")
+    n1 = len(tracker.getJobIdsForGroup(None))
+    assert r.mode == "mor"
+    assert n1 - n0 == 2, f"MoR microbatch epoch launched {n1 - n0} jobs, expected 2"
+
+
 def test_mor_resolve_target_scan_prunes_payload(spark, tmp_table_dir):
     """The merge-on-read resolve reads the touched target ONLY for
     (doc_id, version columns) — the token payload must never reach the scan
