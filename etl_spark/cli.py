@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="shed the winners-file backlog in-line (maybe_compact_mor)",
     )
+    s.add_argument(
+        "--layout",
+        choices=["range", "bucket"],
+        default="range",
+        help="physical file layout if the table is being CREATED (immutable after)",
+    )
+    s.add_argument("--n-buckets", type=int, default=64, help="bucket count for --layout bucket")
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
@@ -153,6 +160,11 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             merge_mode=args.merge_mode,
             auto_compact_mor=args.auto_compact_mor,
+            layout=(
+                {"type": "bucket", "n_buckets": args.n_buckets}
+                if args.layout == "bucket"
+                else None
+            ),
         )
         print(
             json.dumps(

@@ -58,6 +58,7 @@ def run_stream_replay(
     merge_mode: str = "auto",
     auto_compact_mor: bool = False,
     max_mor_files: int = 16,
+    layout: dict | None = None,
 ) -> StreamReplayReport:
     """Tail the binlog dir and apply every available microbatch exactly-once,
     then stop (Trigger.AvailableNow — drains what exists, leaves the
@@ -69,8 +70,12 @@ def run_stream_replay(
     backlog in-line (``maintenance.maybe_compact_mor`` after each applied
     batch — a metadata-only no-op below the ``max_mor_files`` threshold).
     Compaction commits carry no fences, so a crash between a compaction and
-    the next offset commit replays only the idempotent merge."""
-    table = LakeTable.create_if_absent(spark, table_root, target_schema)
+    the next offset commit replays only the idempotent merge.
+
+    ``layout`` applies only if the tail CREATES the table (e.g.
+    ``{"type": "bucket", "n_buckets": 64}``); an existing table keeps its
+    immutable creation-time layout."""
+    table = LakeTable.create_if_absent(spark, table_root, target_schema, layout=layout)
     report = StreamReplayReport()
 
     src_schema = StructType(list(feed_schema.fields) + [StructField("lsn_bucket", IntegerType(), True)])

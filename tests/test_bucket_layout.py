@@ -255,6 +255,46 @@ def test_migrate_layout_round_trip(spark, tmp_table_dir):
     assert len(got) == 3000
 
 
+def test_streaming_tail_into_bucket_table(spark, tmp_path):
+    """The streaming tail creates and fills a bucket-layout table; resumed
+    runs fence correctly and the final state equals the batch replay."""
+    from etl_spark.datagen import BinlogSpec, write_binlog
+    from etl_spark.streaming.tail import run_stream_replay
+
+    binlog = str(tmp_path / "binlog")
+    write_binlog(spark, BinlogSpec(n_events=3000, n_keys=200, seed=31, n_buckets=4), binlog)
+
+    troot = str(tmp_path / "stable")
+    r1 = run_stream_replay(
+        spark,
+        binlog,
+        troot,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=64,
+        layout={"type": "bucket", "n_buckets": 8},
+    )
+    assert r1.applied_batches >= 1
+    stream_table = LakeTable(spark, troot)
+    assert stream_table.layout() == {"type": "bucket", "n_buckets": 8}
+    assert all(f.get("buckets") for f in stream_table.files() if not f.get("mor"))
+
+    # second run: nothing new -> no batches; layout param ignored for the
+    # existing table
+    r2 = run_stream_replay(
+        spark, binlog, troot, str(tmp_path / "ckpt"), layout={"type": "range"}
+    )
+    assert r2.batches == []
+    assert stream_table.layout()["type"] == "bucket"
+
+    # equals a plain batch replay of the same feed into a range table
+    batch_table = LakeTable.create_if_absent(spark, str(tmp_path / "btable"), TARGET_SCHEMA)
+    feed = spark.read.parquet(binlog).drop("delivery_pos", "lsn_bucket")
+    merge_batch(batch_table, feed, epoch=0)
+    a = stream_table.read().select("doc_id", "tokens", "n_tok", "source")
+    b = batch_table.read().select("doc_id", "tokens", "n_tok", "source")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_bucket_schema_evolution(spark, tmp_table_dir):
     table = LakeTable.create_if_absent(spark, tmp_table_dir, TARGET_SCHEMA, layout=BUCKET)
     feed = spark.range(50).select(
