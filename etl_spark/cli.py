@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
 
     li = sub.add_parser("lineage")
     li.add_argument("--table", required=True)
+    li.add_argument(
+        "--per-partition",
+        action="store_true",
+        help="emit every (epoch, partition) ledger row instead of per-epoch rollups",
+    )
 
     args = p.parse_args(argv)
 
@@ -219,9 +224,37 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "lineage":
+        # An operator debugging a 100-TB replay needs "which lsn ranges
+        # landed in which epoch" without writing Python (round-4 verdict
+        # item 8): one JSON line per epoch (or per ledger row with
+        # --per-partition), then the exactly-once coverage verdict.
         from etl_spark.lineage import coverage
 
         table = LakeTable(spark, args.table)
+        recs = table.lineage()
+        if args.per_partition:
+            for r in sorted(recs, key=lambda r: (r["checkpoint_epoch"], r["partition_id"])):
+                print(json.dumps(r))
+        else:
+            by_epoch: dict[int, list[dict]] = {}
+            for r in recs:
+                by_epoch.setdefault(r["checkpoint_epoch"], []).append(r)
+            for e in sorted(by_epoch):
+                rs = by_epoch[e]
+                mins = [x["lsn_min"] for x in rs if x["lsn_min"] is not None]
+                maxs = [x["lsn_max"] for x in rs if x["lsn_max"] is not None]
+                print(
+                    json.dumps(
+                        {
+                            "epoch": e,
+                            "partitions": len(rs),
+                            "lsn_min": min(mins) if mins else None,
+                            "lsn_max": max(maxs) if maxs else None,
+                            "rows_upserted": sum(x["rows_upserted"] for x in rs),
+                            "rows_deleted": sum(x["rows_deleted"] for x in rs),
+                        }
+                    )
+                )
         rep = coverage(table)
         print(
             json.dumps(

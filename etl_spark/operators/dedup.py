@@ -38,8 +38,12 @@ All strategies are pure Catalyst (whole-stage codegen, no Python).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+from etl_spark.session import expr_cache_get
 
 ORDER_COLS = ("commit_lsn", "op_seq")
 
@@ -47,8 +51,10 @@ ORDER_COLS = ("commit_lsn", "op_seq")
 # the max_by aggregate + unpack projection are built once per column layout
 # and reused across epochs — a long microbatch replay otherwise pays the
 # ~50 py4j round-trips of rebuilding them on every merge (driver serial
-# fraction, tools/bench_epoch.py --phases).
-_LWW_EXPRS_CACHE: dict[tuple, tuple] = {}
+# fraction, tools/bench_epoch.py --phases). Bounded gateway-scoped LRU
+# (round-4 ADVICE) so schema churn can't grow it and a gateway restart
+# orphans stale handles.
+_LWW_EXPRS_CACHE: OrderedDict = OrderedDict()
 
 
 def _payload_cols(df: DataFrame, key: str) -> list[str]:
@@ -56,17 +62,15 @@ def _payload_cols(df: DataFrame, key: str) -> list[str]:
 
 
 def _lww_exprs(key: str, payload: list[str]) -> tuple:
-    ck = (key, *payload)
-    cached = _LWW_EXPRS_CACHE.get(ck)
-    if cached is None:
+    def _build():
         win = F.max_by(
             F.struct(*[F.col(c) for c in (*ORDER_COLS, *payload)]),
             F.struct(*[F.col(c) for c in ORDER_COLS]),
         ).alias("_w")
         unpack = [F.col(f"_w.{c}").alias(c) for c in (*ORDER_COLS, *payload)]
-        cached = (win, unpack)
-        _LWW_EXPRS_CACHE[ck] = cached
-    return cached
+        return (win, unpack)
+
+    return expr_cache_get(_LWW_EXPRS_CACHE, (key, *payload), _build)
 
 
 def lww_dedup(df: DataFrame, key: str = "doc_id") -> DataFrame:

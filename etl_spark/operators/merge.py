@@ -45,8 +45,10 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 import time
 import urllib.parse
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -55,6 +57,7 @@ from pyspark.sql.types import StructType
 
 from etl_spark.operators.dedup import lww_dedup, lww_dedup_fetch, lww_dedup_salted
 from etl_spark.schema import HIDDEN_LSN, HIDDEN_SEQ, relax_nullability
+from etl_spark.session import expr_cache_get
 from etl_spark.table.table import HIDDEN_DELETED, LakeTable, TableCommitError
 
 
@@ -73,13 +76,38 @@ FAST_PATH_MAX_KEYS = 50_000
 
 
 def _sql_str(s: str) -> str:
-    """A Spark-SQL single-quoted string literal for an arbitrary key value
-    (backslash and quote escaped — Spark string literals are C-style)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """A Spark-SQL string literal for an arbitrary key value, immune to
+    ``spark.sql.parser.escapedStringLiterals`` (round-4 ADVICE). The conf is
+    read lazily at ANALYSIS time (measured: the same F.expr Column evaluates
+    differently depending on the conf when ``.where`` attaches it), so no
+    construction-time conf scope can pin the semantics. Instead the literal
+    itself is made mode-independent: keys free of quotes and backslashes emit
+    as plain single-quoted literals (both parser modes treat them
+    identically); hostile keys emit as UTF-8 hex binary literals CAST to
+    string, which have no escape processing in either mode. Constant folding
+    collapses the casts before OptimizeIn, so the IN-list still becomes an
+    InSet with parquet pushdown either way (plan-probed: PushedFilters
+    ``[In(doc_id, ...)]``), and the common all-plain-keys batch pays zero
+    extra parse cost."""
+    if "'" not in s and "\\" not in s:
+        return "'" + s + "'"
+    return "CAST(X'" + s.encode("utf-8").hex() + "' AS STRING)"
+
+
+# Session confs are process-global per SparkSession, and the engine supports
+# concurrent writers on one session — so scoped set/restore must be depth-
+# counted under a lock (round-4 ADVICE): two interleaved scopes on the same
+# (session, key) otherwise capture each other's "false" as prev and leave the
+# conf permanently flipped. The outermost enter records the true original and
+# sets; nested/concurrent enters just increment; the last exit restores.
+_SCOPED_CONF_LOCK = threading.Lock()
+_SCOPED_CONF_STATE: dict[tuple, list] = {}  # (id(session), key) -> [depth, prev, value]
 
 
 class _scoped_conf:
-    """Set a session conf for the duration of a block, restoring on exit.
+    """Set a session conf for the duration of a block, restoring on exit —
+    re-entrant and concurrency-safe per (session, key); all concurrent scopes
+    on one key must request the same value (asserted).
     Used to disable AQE around microbatch-sized actions: AQE's per-stage
     materialize-and-replan loop roughly doubles tiny-query latency (measured
     ~2x on a 2M-row scan+agg on the bench VM) and its benefits — runtime
@@ -90,14 +118,30 @@ class _scoped_conf:
         self.spark, self.key, self.value = spark, key, value
 
     def __enter__(self):
-        self.prev = self.spark.conf.get(self.key, None)
-        self.spark.conf.set(self.key, self.value)
+        sk = (id(self.spark), self.key)
+        with _SCOPED_CONF_LOCK:
+            st = _SCOPED_CONF_STATE.get(sk)
+            if st is None:
+                prev = self.spark.conf.get(self.key, None)
+                _SCOPED_CONF_STATE[sk] = [1, prev, self.value]
+                self.spark.conf.set(self.key, self.value)
+            else:
+                assert st[2] == self.value, (
+                    f"conflicting scoped values for {self.key}: {st[2]!r} vs {self.value!r}"
+                )
+                st[0] += 1
 
     def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset(self.key)
-        else:
-            self.spark.conf.set(self.key, self.prev)
+        sk = (id(self.spark), self.key)
+        with _SCOPED_CONF_LOCK:
+            st = _SCOPED_CONF_STATE[sk]
+            st[0] -= 1
+            if st[0] == 0:
+                del _SCOPED_CONF_STATE[sk]
+                if st[1] is None:
+                    self.spark.conf.unset(self.key)
+                else:
+                    self.spark.conf.set(self.key, st[1])
 
 
 def _aqe_off(spark):
@@ -129,17 +173,18 @@ class MergeResult:
     mode: str = "cow"
 
 
-_NORMALIZE_COLS_CACHE: dict[tuple, list] = {}
+_NORMALIZE_COLS_CACHE: OrderedDict = OrderedDict()
 
 
 def _normalize_changes(schema: StructType, changes: DataFrame) -> DataFrame:
     """Project the (possibly older/newer-schema) batch onto the table's
     current schema: missing columns -> null, types cast (covers widen).
-    The projection Columns are cached per (schema, batch-columns) layout —
-    rebuilt only when the table evolves or the feed shape changes."""
+    The projection Columns are cached (bounded, gateway-scoped LRU) per
+    (schema, batch-columns) layout — rebuilt only when the table evolves or
+    the feed shape changes."""
     ck = (schema.json(), tuple(changes.columns))
-    cols = _NORMALIZE_COLS_CACHE.get(ck)
-    if cols is None:
+
+    def _build():
         # pin the key/version/op types: they become the hidden columns'
         # physical parquet types, which the explicit-schema reader
         # (table.py _physical_schema_at) expects to be uniform per file
@@ -156,8 +201,9 @@ def _normalize_changes(schema: StructType, changes: DataFrame) -> DataFrame:
                 cols.append(F.col(f.name).cast(relax_nullability(f.dataType)).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(relax_nullability(f.dataType)).alias(f.name))
-        _NORMALIZE_COLS_CACHE[ck] = cols
-    return changes.select(*cols)
+        return cols
+
+    return changes.select(*expr_cache_get(_NORMALIZE_COLS_CACHE, ck, _build))
 
 
 def merge_batch(
@@ -480,6 +526,9 @@ def _merge_attempt(
             # below, the whole resolve+write is ONE job. The IN list goes
             # through ONE sql-parser round-trip: Column.isin ships every
             # element as its own py4j literal (~3.4 s at 5k keys, measured).
+            # _sql_str emits parser-mode-immune literals, so this parse is
+            # correct even if a caller enables the legacy
+            # escapedStringLiterals mode (also pinned off in build_session)
             narrow = narrow.where(
                 F.col("doc_id").between(batch_keys[0], batch_keys[-1])
             ).where(F.expr("doc_id IN (" + ",".join(_sql_str(k) for k in batch_keys) + ")"))
@@ -838,13 +887,12 @@ MAX_OBSERVED_STAT_FILES = 256
 # hundreds of py4j round-trips (~0.5-1 s/epoch of driver latency, measured
 # via tools/bench_epoch.py --phases), so they are built once per
 # (lineage_partitions | n_files) and reused for every epoch.
-_LINEAGE_EXPRS_CACHE: dict[int, list] = {}
-_FILE_STAT_EXPRS_CACHE: dict[int, list] = {}
+_LINEAGE_EXPRS_CACHE: OrderedDict = OrderedDict()
+_FILE_STAT_EXPRS_CACHE: OrderedDict = OrderedDict()
 
 
 def _lineage_metric_exprs(lineage_partitions: int) -> list:
-    cached = _LINEAGE_EXPRS_CACHE.get(lineage_partitions)
-    if cached is None:
+    def _build():
         applied = F.col("_applied")
         lp = F.pmod(F.xxhash64("doc_id"), F.lit(lineage_partitions)).cast("int")
         cached = [F.count(F.lit(1)).alias("n_rows")]
@@ -858,13 +906,13 @@ def _lineage_metric_exprs(lineage_partitions: int) -> list:
                     F.when(inp & F.col("_is_delete") & F.col("_existed") & F.col("_was_live"), 1).otherwise(0)
                 ).alias(f"del_{p}"),
             ]
-        _LINEAGE_EXPRS_CACHE[lineage_partitions] = cached
-    return cached
+        return cached
+
+    return expr_cache_get(_LINEAGE_EXPRS_CACHE, (lineage_partitions,), _build)
 
 
 def _file_stat_exprs(n_files: int) -> list:
-    cached = _FILE_STAT_EXPRS_CACHE.get(n_files)
-    if cached is None:
+    def _build():
         pid = F.spark_partition_id()
         cached = []
         for i in range(n_files):
@@ -873,11 +921,12 @@ def _file_stat_exprs(n_files: int) -> list:
                 F.max(F.when(pid == i, F.col("doc_id"))).alias(f"fmax_{i}"),
                 F.sum(F.when(pid == i, 1).otherwise(0)).alias(f"fcnt_{i}"),
             ]
-        _FILE_STAT_EXPRS_CACHE[n_files] = cached
-    return cached
+        return cached
+
+    return expr_cache_get(_FILE_STAT_EXPRS_CACHE, (n_files,), _build)
 
 
-_BUCKET_STAT_EXPRS_CACHE: dict[int, list] = {}
+_BUCKET_STAT_EXPRS_CACHE: OrderedDict = OrderedDict()
 
 
 def _bucket_stat_exprs(n_buckets: int) -> list:
@@ -885,8 +934,8 @@ def _bucket_stat_exprs(n_buckets: int) -> list:
     partition the bucket landed in (a bucket's rows all share one partition
     of the hash exchange, so max(pid) IS that partition — and partition p
     becomes file part-{p:05d})."""
-    cached = _BUCKET_STAT_EXPRS_CACHE.get(n_buckets)
-    if cached is None:
+
+    def _build():
         pid = F.spark_partition_id()
         cached = []
         for b in range(n_buckets):
@@ -897,8 +946,9 @@ def _bucket_stat_exprs(n_buckets: int) -> list:
                 F.sum(F.when(inb, 1).otherwise(0)).alias(f"bcnt_{b}"),
                 F.max(F.when(inb, pid)).alias(f"bpart_{b}"),
             ]
-        _BUCKET_STAT_EXPRS_CACHE[n_buckets] = cached
-    return cached
+        return cached
+
+    return expr_cache_get(_BUCKET_STAT_EXPRS_CACHE, (n_buckets,), _build)
 
 
 def _files_from_bucket_observation(

@@ -16,8 +16,39 @@ scale decision:
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
+from typing import Callable
 
 from pyspark.sql import SparkSession
+
+# Bounded, gateway-scoped LRU for py4j Column/expression handles (round-4
+# ADVICE): module-level expression caches otherwise grow without bound across
+# schema/column layouts and hold py4j handles that outlive the SparkSession —
+# a restarted in-process gateway would serve stale JVM references. Keys are
+# prefixed with the live gateway's identity so a gateway restart naturally
+# orphans (and soon evicts) the old entries; the cap keeps the worst case at
+# EXPR_CACHE_MAX plan fragments per cache.
+EXPR_CACHE_MAX = 64
+_EXPR_CACHE_LOCK = threading.Lock()
+
+
+def expr_cache_get(cache: "OrderedDict", key: tuple, build: Callable):
+    from pyspark import SparkContext
+
+    gw = id(SparkContext._gateway) if SparkContext._gateway is not None else 0
+    k = (gw,) + key
+    with _EXPR_CACHE_LOCK:
+        val = cache.get(k)
+        if val is not None:
+            cache.move_to_end(k)
+            return val
+    val = build()
+    with _EXPR_CACHE_LOCK:
+        cache[k] = val
+        while len(cache) > EXPR_CACHE_MAX:
+            cache.popitem(last=False)
+    return val
 
 
 def build_session(
@@ -61,6 +92,11 @@ def build_session(
         # paths (only plausible for whole-table bulk reads on object
         # stores) the parallel listing takes over again
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "2048")
+        # the merge fast path builds its IN-list via F.expr; legacy
+        # escapedStringLiterals would change string-literal semantics, so pin
+        # it off here (defense in depth — merge._sql_str also emits
+        # parser-mode-immune literals, so correctness never depends on this)
+        .config("spark.sql.parser.escapedStringLiterals", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
