@@ -87,6 +87,13 @@ def main(argv: list[str] | None = None) -> int:
     ml.add_argument("--table", required=True)
     ml.add_argument("--layout", choices=["range", "bucket"], required=True)
     ml.add_argument("--n-buckets", type=int, default=64)
+    ml.add_argument(
+        "--staged",
+        action="store_true",
+        help="migrate as a sequence of bounded commits (resumable; readers stay correct mid-migration)",
+    )
+    ml.add_argument("--files-per-stage", type=int, default=8)
+    ml.add_argument("--max-stages", type=int, default=None, help="bound this invocation (resume later)")
 
     ev = sub.add_parser("evolve")
     ev.add_argument("--table", required=True)
@@ -190,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "migrate-layout":
-        from etl_spark.table.maintenance import migrate_layout
+        from etl_spark.table.maintenance import migrate_layout, migrate_layout_staged
 
         table = LakeTable(spark, args.table)
         new_layout = (
@@ -198,8 +205,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.layout == "bucket"
             else {"type": "range"}
         )
-        sid = migrate_layout(table, new_layout)
-        print(json.dumps({"snapshot": sid, "layout": table.layout()}))
+        if args.staged:
+            rep = migrate_layout_staged(
+                table,
+                new_layout,
+                max_files_per_stage=args.files_per_stage,
+                max_stages=args.max_stages,
+            )
+            print(json.dumps({**rep, "layout": table.layout()}))
+        else:
+            sid = migrate_layout(table, new_layout)
+            print(json.dumps({"snapshot": sid, "layout": table.layout()}))
         return 0
 
     if args.cmd == "evolve":

@@ -314,13 +314,21 @@ def _merge_attempt(
     bucket_expr = (
         F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int") if is_bucket else None
     )
+    # a staged layout migration (maintenance.migrate_layout_staged) marks
+    # not-yet-rewritten files layout_stale: their bucket tags (if any) were
+    # computed under a PREVIOUS layout's modulus and must never be used for
+    # exact bucket pruning — stale files plan by key RANGE instead (their
+    # min/max stats are layout-independent), which is sound for any file
     if is_bucket:
         # bucket layout: a file is plannable iff it carries its bucket set —
         # pruning is EXACT membership, not a range test
-        plannable = [f for f in files if f.get("buckets")]
-        unplannable = [f for f in files if not f.get("buckets")]
+        plannable = [f for f in files if f.get("buckets") and not f.get("layout_stale")]
+        rest = [f for f in files if not f.get("buckets") or f.get("layout_stale")]
+        range_plannable = [f for f in rest if f["min_key"] is not None]
+        unplannable = [f for f in rest if f["min_key"] is None]
     else:
         plannable = [f for f in files if f["min_key"] is not None]
+        range_plannable = []
         unplannable = [f for f in files if f["min_key"] is None]  # no stats -> always touched
     touched_paths: set[str] = {f["path"] for f in unplannable}
     n_changes: int | None = None
@@ -351,6 +359,18 @@ def _merge_attempt(
     batch_buckets: set[int] | None = None
     key_bucket: dict[str, int] | None = None
     if len(key_rows) <= FAST_PATH_MAX_KEYS:
+        import bisect
+
+        def _range_touch(entries: list[dict], keys: list[str]) -> None:
+            # driver-side file-touch planning: files are range-tight (range-
+            # partitioned writes), keys are sorted — one bisect per file
+            # entry, O(F log K) on the driver, zero Spark jobs. Exactly the
+            # join predicate doc_id BETWEEN min_key AND max_key, locally.
+            for f in entries:
+                i = bisect.bisect_left(keys, f["min_key"])
+                if i < len(keys) and keys[i] <= f["max_key"]:
+                    touched_paths.add(f["path"])
+
         if is_bucket:
             key_bucket = {r["doc_id"]: r["_bkt"] for r in key_rows}
             batch_buckets = set(key_bucket.values())
@@ -358,41 +378,42 @@ def _merge_attempt(
             for f in plannable:
                 if not batch_buckets.isdisjoint(f["buckets"]):
                     touched_paths.add(f["path"])
+            _range_touch(range_plannable, batch_keys)
         else:
             batch_keys = sorted(key_rows)
-            # driver-side file-touch planning: files are range-tight (range-
-            # partitioned writes), keys are sorted — one bisect per file
-            # entry, O(F log K) on the driver, zero Spark jobs. Exactly the
-            # join predicate doc_id BETWEEN min_key AND max_key, locally.
-            import bisect
-
-            for f in plannable:
-                i = bisect.bisect_left(batch_keys, f["min_key"])
-                if i < len(batch_keys) and batch_keys[i] <= f["max_key"]:
-                    touched_paths.add(f["path"])
+            _range_touch(plannable, batch_keys)
         n_changes = len(batch_keys)
-    elif plannable and is_bucket:
-        from pyspark.sql import Observation
+    elif is_bucket:
+        # mid-migration stale files count as touched under BULK planning: a
+        # >FAST_PATH_MAX_KEYS batch of hash-scattered keys intersects a
+        # wide-range file with near certainty, so an exact range join would
+        # almost never prune one — and touching them progresses the
+        # migration (the CoW rewrite emits them in the current layout)
+        touched_paths |= {f["path"] for f in range_plannable}
+        if plannable:
+            from pyspark.sql import Observation
 
-        # bulk planning, bucket layout: exact bucket-membership join —
-        # (path, bucket) pairs broadcast, equality join (no range condition)
-        stats_df = spark.createDataFrame(
-            [(f["path"], b) for f in plannable for b in f["buckets"]],
-            "path string, bucket int",
-        )
-        obs_plan = Observation(f"plan-epoch-{epoch}")
-        hits = (
-            dedup.observe(obs_plan, F.count(F.lit(1)).alias("n"))
-            .select(bucket_expr.alias("_bkt"))
-            .join(F.broadcast(stats_df), F.col("_bkt") == F.col("bucket"), "left_outer")
-            .select("path")
-            .distinct()
-            .collect()
-        )
-        touched_paths |= {r["path"] for r in hits if r["path"] is not None}
-        try:
-            n_changes = obs_plan.get["n"]
-        except Exception:
+            # bulk planning, bucket layout: exact bucket-membership join —
+            # (path, bucket) pairs broadcast, equality join (no range condition)
+            stats_df = spark.createDataFrame(
+                [(f["path"], b) for f in plannable for b in f["buckets"]],
+                "path string, bucket int",
+            )
+            obs_plan = Observation(f"plan-epoch-{epoch}")
+            hits = (
+                dedup.observe(obs_plan, F.count(F.lit(1)).alias("n"))
+                .select(bucket_expr.alias("_bkt"))
+                .join(F.broadcast(stats_df), F.col("_bkt") == F.col("bucket"), "left_outer")
+                .select("path")
+                .distinct()
+                .collect()
+            )
+            touched_paths |= {r["path"] for r in hits if r["path"] is not None}
+            try:
+                n_changes = obs_plan.get["n"]
+            except Exception:
+                n_changes = dedup.count()
+        else:
             n_changes = dedup.count()
     elif plannable:
         from pyspark.sql import Observation
@@ -829,9 +850,16 @@ def _merge_attempt(
             untouched = [f for f in files if f["path"] not in touched_paths]
 
             def _overlaps(a: dict, b: dict) -> bool:
-                if a.get("buckets") and b.get("buckets"):
+                if (
+                    a.get("buckets")
+                    and b.get("buckets")
+                    and not a.get("layout_stale")
+                    and not b.get("layout_stale")
+                ):
                     # bucket layout: copies of a key live only in same-bucket
-                    # files — disjoint bucket sets cannot share a key
+                    # files — disjoint bucket sets cannot share a key.
+                    # layout_stale tags may be under an older modulus, so
+                    # stale entries fall back to the range test
                     return not set(a["buckets"]).isdisjoint(b["buckets"])
                 if a["min_key"] is None or b["min_key"] is None:
                     return True  # no stats -> cannot prove disjoint

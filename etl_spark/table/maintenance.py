@@ -46,7 +46,7 @@ import shutil
 import pyspark.sql.functions as F
 
 from etl_spark.schema import HIDDEN_LSN
-from etl_spark.table.table import HIDDEN_DELETED, LakeTable
+from etl_spark.table.table import HIDDEN_DELETED, LakeTable, TableCommitError
 
 
 def _rewrite(
@@ -169,13 +169,16 @@ def compact_mor(table: LakeTable, target_rows_per_file: int = 1_000_000) -> int 
     touched = {f["path"] for f in mor}
     is_bucket = table.layout(snap["snapshot_id"]).get("type") == "bucket"
     mor_buckets = set()
-    if is_bucket and all(m.get("buckets") for m in mor):
+    # layout_stale entries (mid staged migration) may carry bucket tags
+    # under an older modulus — bucket-local closure only when every party's
+    # tags are current; stale files fall to the range test below
+    if is_bucket and all(m.get("buckets") and not m.get("layout_stale") for m in mor):
         for m in mor:
             mor_buckets.update(m["buckets"])
     for f in files:
         if f["path"] in touched:
             continue
-        if mor_buckets and f.get("buckets"):
+        if mor_buckets and f.get("buckets") and not f.get("layout_stale"):
             # bucket layout: a masked key's older copies live only in files
             # sharing its bucket — the closure is BUCKET-LOCAL, so debt in
             # one bucket never rewrites the others
@@ -281,6 +284,112 @@ def migrate_layout(
         layout_override=new_layout,
         commit_new_layout=new_layout,
     )
+
+
+def migrate_layout_staged(
+    table: LakeTable,
+    new_layout: dict,
+    max_files_per_stage: int = 8,
+    target_rows_per_file: int = 1_000_000,
+    max_stages: int | None = None,
+    max_retries: int = 5,
+) -> dict:
+    """Layout migration as a SEQUENCE of bounded atomic commits (round-4
+    verdict item 4): at 100 TB, ``migrate_layout``'s single commit rewriting
+    every live file is days of un-checkpointed work — one crash restarts it
+    from zero, and the whole table's worth of staged files must exist
+    side-by-side before the flip.
+
+    Protocol (resumable by construction — progress lives in the manifest,
+    no side state):
+
+    1. **begin** (metadata-only commit): flip the layout descriptor to
+       ``new_layout`` and tag every live file entry ``layout_stale``. From
+       this commit on, every writer emits NEW-layout files; stale files are
+       planned by key RANGE everywhere (their min/max stats are layout-
+       independent), and their bucket tags — possibly under an older
+       modulus — are never used for exact pruning (merge planning, MoR mask
+       pruning, compaction closure all check the tag).
+    2. **stage** commits: rewrite up to ``max_files_per_stage`` stale files
+       through the masked loader into the new layout (mor flag inherited
+       under the same keep-the-mask rule as ``compact``). Each stage is
+       pinned to the snapshot it planned (``expect_parent``) and retries on
+       concurrent-writer conflicts; a crash between stages loses at most
+       one stage of work.
+    3. done when no ``layout_stale`` entry remains — there is no final
+       flip: the descriptor flipped at begin, and conformance is derivable
+       from the manifest (re-invoking resumes / no-ops).
+
+    Reads and merges are correct at EVERY intermediate snapshot; a CoW
+    merge touching a stale file rewrites it into the new layout, so
+    foreground write traffic also progresses the migration. ``max_stages``
+    bounds one invocation (kill/resume simulation, incremental ops).
+
+    Returns ``{"begin": sid | None, "stages": [sid, ...], "done": bool,
+    "stale_remaining": int}``.
+    """
+    if new_layout.get("type") not in ("range", "bucket"):
+        raise ValueError(f"unknown layout type {new_layout!r}")
+    if new_layout["type"] == "bucket" and not (1 <= int(new_layout.get("n_buckets", 0))):
+        raise ValueError("bucket layout needs n_buckets >= 1")
+
+    begin_sid: int | None = None
+    snap = table.snapshot()
+    if table.layout(snap["snapshot_id"]) != new_layout:
+        # begin: descriptor flip + stale-tag every live file, one
+        # metadata-only commit (entries keep their added_at, so MoR mask
+        # ordering is unchanged)
+        begin_sid = table.commit(
+            add_files=[{**f, "layout_stale": True} for f in snap["files"]],
+            remove_paths={f["path"] for f in snap["files"]},
+            new_layout=new_layout,
+            summary={"maintenance": "migrate_layout_staged", "phase": "begin", "to": new_layout},
+            expect_parent=snap["snapshot_id"],
+        )
+
+    stages: list[int] = []
+    while True:
+        snap = table.snapshot()
+        stale = sorted(
+            (f for f in snap["files"] if f.get("layout_stale")),
+            key=lambda f: (f["min_key"] is None, f["min_key"] or "", f["path"]),
+        )
+        if not stale:
+            return {"begin": begin_sid, "stages": stages, "done": True, "stale_remaining": 0}
+        if max_stages is not None and len(stages) >= max_stages:
+            return {
+                "begin": begin_sid,
+                "stages": stages,
+                "done": False,
+                "stale_remaining": len(stale),
+            }
+        picked = stale[:max_files_per_stage]
+        covers_all = len(picked) == len(snap["files"])
+        mor_flag = any(f.get("mor") for f in picked) and not covers_all
+        try:
+            sid = _rewrite(
+                table,
+                table.load_files(picked, snap),
+                remove_paths={f["path"] for f in picked},
+                target_rows_per_file=target_rows_per_file,
+                summary={
+                    "maintenance": "migrate_layout_staged",
+                    "phase": "stage",
+                    "files_in": len(picked),
+                    "to": new_layout,
+                },
+                mor_flag=mor_flag,
+                expect_parent=snap["snapshot_id"],
+            )
+        except TableCommitError:
+            # a concurrent merge advanced HEAD between plan and commit —
+            # replan against the new head (bounded; the merge may even have
+            # migrated some of our picked files for us)
+            max_retries -= 1
+            if max_retries < 0:
+                raise
+            continue
+        stages.append(sid)
 
 
 def gc_orphans(table: LakeTable) -> list[str]:

@@ -554,16 +554,22 @@ class LakeTable:
         if not mor:
             return out
         # bucket layout: a loaded row's superseding winner can only live in
-        # a file sharing one of the loaded buckets — exact set pruning
+        # a file sharing one of the loaded buckets — exact set pruning.
+        # layout_stale entries (mid staged migration) may carry tags under
+        # an older modulus: a stale loaded file disables bucket pruning
+        # entirely (its bucket membership is unknown under the current
+        # layout), and a stale winners file is never pruned by bucket
         loaded_buckets: set[int] = set()
-        if all(f.get("buckets") for f in file_entries):
+        if all(f.get("buckets") and not f.get("layout_stale") for f in file_entries):
             for f in file_entries:
                 loaded_buckets.update(f["buckets"])
         if loaded_buckets:
             mor = [
                 f
                 for f in mor
-                if not f.get("buckets") or not loaded_buckets.isdisjoint(f["buckets"])
+                if not f.get("buckets")
+                or f.get("layout_stale")
+                or not loaded_buckets.isdisjoint(f["buckets"])
             ]
             if not mor:
                 return out

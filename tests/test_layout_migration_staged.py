@@ -1,0 +1,199 @@
+"""Staged (multi-commit, resumable) layout migration — round-4 verdict item 4.
+
+``maintenance.migrate_layout_staged`` replaces the single-commit full rewrite
+with: one metadata-only BEGIN commit (descriptor flip + ``layout_stale`` tag
+on every live file), then bounded STAGE commits rewriting a few stale files
+each. Pinned here:
+
+- replay INTERLEAVED with a staged migration equals the pandas oracle, with
+  correct reads at every intermediate snapshot;
+- kill/resume: an invocation bounded by ``max_stages`` leaves a correct,
+  resumable table; re-invoking completes the migration;
+- the old-modulus hazard: bucket(8) -> bucket(4) mid-migration leaves files
+  whose bucket tags were computed under modulus 8 — they must be planned by
+  RANGE, never by those tags (a stale tag read under the new modulus would
+  silently skip touched files and let stale events win);
+- MoR debt mid-migration: winners-file masks keep applying while their
+  victims are migrated stage by stage;
+- foreground CoW merges progress the migration (touched stale files come
+  out in the new layout).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_spark.datagen import BinlogSpec, generate_binlog
+from etl_spark.operators.merge import merge_batch
+from etl_spark.oracle import assert_state_equal, replay_oracle
+from etl_spark.schema import TARGET_SCHEMA
+from etl_spark.table import LakeTable
+from etl_spark.table.maintenance import migrate_layout_staged
+
+BUCKET4 = {"type": "bucket", "n_buckets": 4}
+BUCKET8 = {"type": "bucket", "n_buckets": 8}
+
+SPEC = BinlogSpec(n_events=6000, n_keys=400, seed=33, skew=2.0, ooo_frac=0.15, dup_frac=0.08)
+
+
+def _batches(feed, n_batches):
+    span = feed.agg(F.max("delivery_pos")).collect()[0][0] + 1
+    per = span // n_batches + 1
+    return [
+        feed.where(
+            (F.col("delivery_pos") >= i * per) & (F.col("delivery_pos") < (i + 1) * per)
+        ).drop("delivery_pos", "lsn_bucket")
+        for i in range(n_batches)
+    ]
+
+
+def _state(table):
+    return table.read(include_hidden=True).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _stale(table):
+    return [f for f in table.files() if f.get("layout_stale")]
+
+
+def test_staged_migration_interleaved_with_replay_matches_oracle(spark, tmp_path):
+    feed = generate_binlog(spark, SPEC)
+    feed.cache().count()
+    expected = replay_oracle(feed.drop("delivery_pos", "lsn_bucket").toPandas())
+    batches = _batches(feed, 6)
+
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, batches[0], epoch=0, target_rows_per_file=200)
+    merge_batch(table, batches[1], epoch=1, target_rows_per_file=200)
+    n_files_before = len(table.files())
+    assert n_files_before > 2
+
+    # begin + one bounded stage: table is now MID-migration
+    rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=1, max_stages=1)
+    assert rep["begin"] is not None and not rep["done"] and rep["stale_remaining"] > 0
+    assert table.layout() == BUCKET4
+    # mid-migration read must already be correct
+    mid_expected = replay_oracle(batches[0].unionByName(batches[1]).toPandas())
+    assert_state_equal(_state(table), mid_expected)
+
+    # interleave replay epochs with migration stages
+    merge_batch(table, batches[2], epoch=2, target_rows_per_file=200)
+    rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=2, max_stages=1)
+    merge_batch(table, batches[3], epoch=3, target_rows_per_file=200)
+    merge_batch(table, batches[4], epoch=4, target_rows_per_file=200)
+    rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=4)
+    assert rep["done"] and not _stale(table)
+    merge_batch(table, batches[5], epoch=5, target_rows_per_file=200)
+
+    assert_state_equal(_state(table), expected)
+    # fully conforming: every live file carries current-modulus bucket tags
+    for f in table.files():
+        assert f.get("buckets") and not f.get("layout_stale"), f
+        assert all(0 <= b < 4 for b in f["buckets"]), f
+
+
+def test_staged_migration_resume_after_kill(spark, tmp_path):
+    feed = generate_binlog(spark, SPEC)
+    batches = _batches(feed, 2)
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, batches[0], epoch=0, target_rows_per_file=150)
+    merge_batch(table, batches[1], epoch=1, target_rows_per_file=150)
+
+    rep1 = migrate_layout_staged(table, BUCKET4, max_files_per_stage=1, max_stages=2)
+    assert not rep1["done"] and len(rep1["stages"]) == 2
+    # "kill": nothing persisted beyond the manifest; a NEW handle resumes
+    table2 = LakeTable(spark, str(tmp_path / "t"))
+    rep2 = migrate_layout_staged(table2, BUCKET4, max_files_per_stage=4)
+    assert rep2["begin"] is None, "resume must not re-begin"
+    assert rep2["done"] and not _stale(table2)
+    expected = replay_oracle(feed.drop("delivery_pos", "lsn_bucket").toPandas())
+    assert_state_equal(_state(table2), expected)
+    # idempotent once done
+    rep3 = migrate_layout_staged(table2, BUCKET4)
+    assert rep3 == {"begin": None, "stages": [], "done": True, "stale_remaining": 0}
+
+
+def test_old_modulus_bucket_tags_never_drive_planning(spark, tmp_path):
+    """bucket(8) -> bucket(4) staged: mid-migration files keep 8-modulus
+    tags. A stale event for a key in such a file must still LOSE (pre-fix
+    shape: tag-based pruning under the new modulus misses the file, the
+    stale event plans as a fresh insert and wins)."""
+    feed = generate_binlog(spark, SPEC)
+    feed.cache().count()
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA, layout=BUCKET8)
+    full = feed.drop("delivery_pos", "lsn_bucket")
+    merge_batch(table, full, epoch=0, target_rows_per_file=150)
+    expected = replay_oracle(full.toPandas())
+
+    rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=1, max_stages=1)
+    assert not rep["done"]
+    stale = _stale(table)
+    # the hazard needs a stale file whose 8-modulus tags include a bucket
+    # id >= 4: interpreted under the new modulus it can never match a batch
+    # bucket, so tag-driven planning would silently skip the file. (Tags
+    # < 4 are accidentally harmless for a halved modulus: pmod(x,8)=b < 4
+    # implies pmod(x,4)=b.)
+    hazardous = [f for f in stale if f.get("min_key") and any(b >= 4 for b in f.get("buckets", []))]
+    assert hazardous, f"no stale file with old-modulus tags >= 4: {stale}"
+
+    # stale (lower-lsn) events for keys currently living in such a file
+    some = hazardous[0]
+    hazard_tags = [b for b in some["buckets"] if b >= 4]
+    victim_keys = [
+        r["doc_id"]
+        for r in table.read()
+        .where(F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").isin(hazard_tags))
+        .select("doc_id")
+        .limit(5)
+        .collect()
+    ]
+    assert victim_keys
+    stale_events = spark.createDataFrame(
+        [(k, -1, 0, "U", [0], 1, "stale") for k in victim_keys],
+        "doc_id string, commit_lsn long, op_seq int, op string, tokens array<int>, n_tok int, source string",
+    )
+    merge_batch(table, stale_events, epoch=1)
+    assert_state_equal(_state(table), expected)  # stale events all lost
+
+    # and mid-migration reads/merges stay correct through completion
+    migrate_layout_staged(table, BUCKET4, max_files_per_stage=8)
+    assert_state_equal(_state(table), expected)
+
+
+def test_mor_debt_survives_staged_migration(spark, tmp_path):
+    feed = generate_binlog(spark, BinlogSpec(n_events=4000, n_keys=300, seed=7))
+    feed.cache().count()
+    batches = _batches(feed, 2)
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, batches[0], epoch=0, target_rows_per_file=150)
+    # a forced-MoR epoch leaves winners files + masked victims
+    merge_batch(table, batches[1], epoch=1, merge_mode="mor")
+    assert any(f.get("mor") for f in table.files())
+    expected = replay_oracle(feed.drop("delivery_pos", "lsn_bucket").toPandas())
+    assert_state_equal(_state(table), expected)
+
+    # migrate one file at a time; state must hold at every intermediate
+    while True:
+        rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=1, max_stages=1)
+        assert_state_equal(_state(table), expected)
+        if rep["done"]:
+            break
+    assert not _stale(table)
+
+
+def test_foreground_cow_merge_progresses_migration(spark, tmp_path):
+    feed = generate_binlog(spark, SPEC)
+    feed.cache().count()
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    full = feed.drop("delivery_pos", "lsn_bucket")
+    merge_batch(table, full, epoch=0, target_rows_per_file=150)
+
+    migrate_layout_staged(table, BUCKET4, max_files_per_stage=1, max_stages=0)
+    n_stale0 = len(_stale(table))
+    assert n_stale0 == len(table.files())
+
+    # a bulk CoW touching everything re-emits files in the NEW layout
+    bump = full.withColumn("commit_lsn", F.col("commit_lsn") + 1_000_000)
+    merge_batch(table, bump, epoch=1)
+    assert len(_stale(table)) < n_stale0
+    expected = replay_oracle(full.toPandas().assign(commit_lsn=lambda d: d.commit_lsn + 1_000_000))
+    assert_state_equal(_state(table), expected)
