@@ -14,9 +14,15 @@ Real since round 4: image DIMENSIONS decode — PNG IHDR / JPEG SOF / GIF
 logical-screen headers parsed in pure Python inside the Arrow kernel
 (:func:`parse_image_dims`), no codec library needed.
 
-Stubbed parts (clearly marked): pixel-level decode/featurization — the
-codec libraries (Pillow, torchaudio, ffmpeg) are not in this container.
-The real path emits null features beside the real dims; ``fake=True``
+Real since round 5: audio metadata (RIFF/WAVE sample-rate/channels/duration,
+:func:`parse_wav_meta`) and PIXEL decode + featurization for the
+uncompressed raster formats (BMP 24/32bpp, PPM/PGM binary —
+:func:`decode_pixels` / :func:`pixel_features`).
+
+Stubbed parts (clearly marked): pixel/sample decode for COMPRESSED formats
+(PNG deflate, JPEG DCT, GIF LZW, lossy audio) — the codec libraries
+(Pillow, torchaudio, ffmpeg) are not in this container. The real path
+emits null features beside the real dims for those; ``fake=True``
 substitutes a deterministic byte-histogram "extractor" so the Spark-side
 contract (signature, schema, batching) is fully exercised by tests.
 """
@@ -141,6 +147,95 @@ def parse_wav_meta(payload: bytes) -> tuple[int | None, int | None, int | None]:
     return (sample_rate, channels, duration_ms)
 
 
+def decode_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """REAL pixel decode for the UNCOMPRESSED raster formats a pure-Python
+    parser can handle without codec libraries (round-5): returns
+    ``(width, height, flat_rgb_or_gray_bytes)`` or None.
+
+    - BMP (Windows DIB, BITMAPINFOHEADER, 24/32bpp, uncompressed BI_RGB):
+      pixel array offset at +10 (LE u32), width/height at +18/+22 in the
+      40-byte info header; rows are bottom-up and padded to 4 bytes.
+    - PPM/PGM binary (``P6``/``P5``): whitespace-separated header then raw
+      samples — the classic interchange format for exactly this situation.
+
+    Compressed formats (PNG/JPEG/GIF deflate/DCT/LZW streams) are out of
+    scope by design — that is what codec libraries are for; their DIMENSIONS
+    still come from :func:`parse_image_dims`."""
+    if len(payload) >= 54 and payload[:2] == b"BM":
+        pix_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size < 40:
+            return None
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        nch = bpp // 8
+        row_stride = (w * nch + 3) & ~3
+        if pix_off + row_stride * h > len(payload):
+            return None
+        out: list[int] = []
+        rows = range(h - 1, -1, -1) if bottom_up else range(h)
+        for r in rows:
+            base = pix_off + r * row_stride
+            row = payload[base : base + w * nch]
+            for c in range(w):
+                b, g, rr = row[c * nch], row[c * nch + 1], row[c * nch + 2]
+                out += [rr, g, b]  # BMP stores BGR(A); emit RGB
+        return (w, h, out)
+    if payload[:2] in (b"P5", b"P6"):
+        # header: magic, width, height, maxval — tokens separated by
+        # whitespace/comments, then ONE whitespace byte before raw samples
+        i, fields = 2, []
+        n = len(payload)
+        while len(fields) < 3 and i < n:
+            while i < n and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < n and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        if len(fields) < 3:
+            return None
+        try:
+            w, h, maxval = int(fields[0]), int(fields[1]), int(fields[2])
+        except ValueError:
+            return None
+        if w <= 0 or h <= 0 or maxval > 255:
+            return None
+        i += 1  # the single whitespace after maxval
+        nch = 3 if payload[:2] == b"P6" else 1
+        need = w * h * nch
+        if i + need > n:
+            return None
+        return (w, h, list(payload[i : i + need]))
+    return None
+
+
+def pixel_features(w: int, h: int, pixels: list[int]) -> list[float]:
+    """Deterministic feature vector from decoded pixels: mean + std of the
+    intensity plus an 8-bin intensity histogram (normalized) — the same
+    shape a real embedding kernel would emit, computed from REAL pixels."""
+    n = len(pixels)
+    if n == 0:
+        return []
+    mean = sum(pixels) / n
+    var = sum((p - mean) ** 2 for p in pixels) / n
+    hist = [0] * 8
+    for p in pixels:
+        hist[p >> 5] += 1
+    return [round(mean, 4), round(var**0.5, 4)] + [round(c / n, 6) for c in hist]
+
+
 def decode_and_featurize(
     df: DataFrame,
     payload_col: str = "payload",
@@ -152,14 +247,17 @@ def decode_and_featurize(
 
     The real path (``fake=False``) parses TRUE metadata in pure Python — no
     codec library needed: width/height from PNG/JPEG/GIF headers
-    (:func:`parse_image_dims`) and sample_rate/channels/duration_ms from
-    RIFF/WAVE headers (:func:`parse_wav_meta`); unrecognized payloads yield
-    null metadata. Pixel/sample-level feature extraction still needs codec
-    libraries absent from this container, so the real path emits
-    ``features = null`` — an honest contract, swap in a Pillow/torchaudio
-    kernel in production, the Spark plumbing (schema, batching,
-    partitioning) does not change. ``fake=True`` keeps the deterministic
-    byte-histogram "feature extractor" used by the batch-contract tests.
+    (:func:`parse_image_dims`), sample_rate/channels/duration_ms from
+    RIFF/WAVE headers (:func:`parse_wav_meta`), and for UNCOMPRESSED
+    rasters (BMP/PPM/PGM) real pixel decode + a real feature vector
+    (mean/std/8-bin intensity histogram, :func:`pixel_features`).
+    Unrecognized payloads yield null metadata. Feature extraction for
+    COMPRESSED formats still needs codec libraries absent from this
+    container, so those emit ``features = null`` — an honest contract, swap
+    in a Pillow/torchaudio kernel in production, the Spark plumbing
+    (schema, batching, partitioning) does not change. ``fake=True`` keeps
+    the deterministic byte-histogram "feature extractor" used by the
+    batch-contract tests.
     """
     out_schema = (
         f"{id_col} long, width int, height int, sample_rate int, channels int, "
@@ -167,10 +265,16 @@ def decode_and_featurize(
     )
 
     def _decode_real(payload: bytes) -> tuple:
+        # uncompressed rasters (BMP/PPM/PGM): REAL pixels -> REAL features
+        decoded = decode_pixels(payload)
+        if decoded is not None:
+            w, h, pixels = decoded
+            return (w, h, None, None, None, pixel_features(w, h, pixels))
         w, h = parse_image_dims(payload)
         sr, ch, dur = (None, None, None) if w is not None else parse_wav_meta(payload)
-        # STUB (honest): pixel/sample featurization requires codec libs not
-        # in this container; dims + audio meta are real, features are null
+        # STUB (honest): pixel/sample featurization for COMPRESSED formats
+        # requires codec libs not in this container; dims + audio meta are
+        # real, features are null for them
         return (w, h, sr, ch, dur, None)
 
     def _decode_fake(payload: bytes) -> tuple:

@@ -253,6 +253,56 @@ def test_decode_real_audio_meta_on_synthesized_wav(spark):
     assert out[3] == (None, None, None, None)
 
 
+def _bmp_bytes(w: int, h: int, rgb_rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal 24bpp bottom-up BI_RGB BMP; rgb_rows is top-to-bottom."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rgb_rows):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        pix += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    return hdr + info + pix
+
+
+def test_decode_pixels_bmp_and_ppm_pure_python():
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    w, h, flat = MM.decode_pixels(_bmp_bytes(2, 2, rows))
+    assert (w, h) == (2, 2)
+    assert flat == [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+
+    ppm = b"P6\n# comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    assert MM.decode_pixels(ppm) == (2, 1, [1, 2, 3, 4, 5, 6])
+    pgm = b"P5 3 1 255\n" + bytes([9, 8, 7])
+    assert MM.decode_pixels(pgm) == (3, 1, [9, 8, 7])
+
+    assert MM.decode_pixels(b"not raster") is None
+    assert MM.decode_pixels(_png_bytes(4, 4)) is None  # compressed -> out of scope
+    assert MM.decode_pixels(b"P6 2 2 255\n\x01\x02") is None  # truncated samples
+
+    feats = MM.pixel_features(3, 1, [9, 8, 7])
+    assert feats[0] == 8.0 and len(feats) == 10
+    assert abs(sum(feats[2:]) - 1.0) < 1e-9
+
+
+def test_decode_real_pixel_features_on_uncompressed_rasters(spark):
+    """Round-5: fake=False emits REAL feature vectors for BMP/PPM payloads
+    (pure-Python pixel decode) while compressed formats keep honest nulls."""
+    rows = [
+        (1, bytearray(_bmp_bytes(2, 1, [[(0, 0, 0), (255, 255, 255)]]))),
+        (2, bytearray(b"P5 2 1 255\n" + bytes([0, 255]))),
+        (3, bytearray(_png_bytes(5, 6))),  # compressed: dims real, features null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in MM.decode_and_featurize(df, fake=False).collect()}
+    assert out[1]["width"] == 2 and out[1]["features"][0] == 127.5
+    assert out[2]["features"][0] == 127.5 and out[2]["height"] == 1
+    assert out[3]["width"] == 5 and out[3]["features"] is None
+
+
 def test_decode_kernel_is_arrow_vectorized(spark):
     from etl_spark.functions.tokens import assert_vectorized_plan
 
