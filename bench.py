@@ -135,10 +135,25 @@ def run_mor_ab(spark, table_events: int = 500_000, micro_epochs: int = 8, micro_
 
 
 def run_replay_bench(spark, n_events: int, n_keys: int, epochs: int) -> dict:
+    """Headline replay, warm-up policy as for queries (round-4 verdict item
+    2, extended to the headline in round 5): the FIRST replay of a fresh
+    session carries ~2-3x of one-time cost (codegen warm-up, first parquet
+    touch, JIT) that swings single-shot numbers by the VM's full noise band
+    (measured 49.7 s cold vs 13.5/13.8 s on the two warm reps of the same
+    binlog). The headline is therefore the MEDIAN of two timed replays after
+    one discarded cold run; the cold run is reported alongside as
+    ``cold_wall_sec`` so the one-time cost stays visible."""
     root = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
         gen_binlog(spark, os.path.join(root, "binlog"), n_events, n_keys, epochs)
-        out = replay_binlog(spark, os.path.join(root, "binlog"), epochs, n_events)
+        cold = replay_binlog(spark, os.path.join(root, "binlog"), epochs, n_events)
+        reps = [replay_binlog(spark, os.path.join(root, "binlog"), epochs, n_events) for _ in range(2)]
+        assert all(r["final_rows"] == cold["final_rows"] for r in reps)
+        out = dict(reps[0])
+        out["wall_sec"] = round(sum(r["wall_sec"] for r in reps) / 2, 2)  # mean of 2 warm reps
+        out["events_per_sec"] = round(n_events / out["wall_sec"], 1)
+        out["warm_walls"] = [r["wall_sec"] for r in reps]
+        out["cold_wall_sec"] = cold["wall_sec"]
         out["n_keys"] = n_keys
         return out
     finally:

@@ -180,6 +180,198 @@ def test_mor_debt_survives_staged_migration(spark, tmp_path):
     assert not _stale(table)
 
 
+def test_stage_retries_after_concurrent_writer_conflict(spark, tmp_path):
+    """A merge committing between a stage's plan and its commit trips the
+    expect_parent pin; the stage must replan against the new head and
+    succeed (bounded retries), with both the merge and the migration
+    surviving."""
+    feed = generate_binlog(spark, BinlogSpec(n_events=3000, n_keys=200, seed=11))
+    feed.cache().count()
+    batches = _batches(feed, 2)
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, batches[0], epoch=0, target_rows_per_file=150)
+
+    from etl_spark.table import maintenance as maint
+
+    real_rewrite = maint._rewrite
+    conflicts = {"n": 0}
+
+    def racing_rewrite(table_, df, **kw):
+        if conflicts["n"] == 0:
+            conflicts["n"] += 1
+            # concurrent writer lands AFTER this stage planned its snapshot
+            merge_batch(table, batches[1], epoch=1, target_rows_per_file=150)
+        return real_rewrite(table_, df, **kw)
+
+    maint._rewrite = racing_rewrite
+    try:
+        rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=4)
+    finally:
+        maint._rewrite = real_rewrite
+    assert rep["done"] and conflicts["n"] == 1
+    assert not _stale(table)
+    expected = replay_oracle(feed.drop("delivery_pos", "lsn_bucket").toPandas())
+    assert_state_equal(_state(table), expected)
+
+
+def test_maintenance_storm_preserves_state(spark, tmp_path):
+    """Deterministic pseudo-random interleave of replay epochs, staged
+    migrations (range -> bucket -> back to range), MoR epochs, and
+    compactions — the state must equal the cumulative oracle after EVERY
+    step (the storm a long-lived 100-TB table actually lives through)."""
+    import random
+
+    from etl_spark.table.maintenance import compact, compact_mor
+
+    rng = random.Random(99)
+    feed = generate_binlog(spark, BinlogSpec(n_events=6000, n_keys=350, seed=41, ooo_frac=0.2))
+    feed.cache().count()
+    batches = _batches(feed, 8)
+    pd_batches = [b.toPandas() for b in batches]
+
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    applied: list = []
+    targets = [BUCKET4, {"type": "range"}, BUCKET8]
+    t_idx = 0
+    current_target = None
+    for e, batch in enumerate(batches):
+        mode = rng.choice(["auto", "mor", "cow"])
+        merge_batch(table, batch, epoch=e, merge_mode=mode, target_rows_per_file=200)
+        applied.append(pd_batches[e])
+        # one random maintenance action between epochs
+        act = rng.choice(["stage", "begin", "compact", "compact_mor", "none"])
+        if act == "begin" or (act == "stage" and current_target is None):
+            current_target = targets[t_idx % len(targets)]
+            t_idx += 1
+            migrate_layout_staged(table, current_target, max_files_per_stage=1, max_stages=1)
+        elif act == "stage":
+            rep = migrate_layout_staged(table, current_target, max_files_per_stage=2, max_stages=1)
+            if rep["done"]:
+                current_target = None
+        elif act == "compact":
+            compact(table, small_file_rows=500)
+        elif act == "compact_mor":
+            compact_mor(table)
+        import pandas as pd
+
+        expected = replay_oracle(pd.concat(applied, ignore_index=True))
+        assert_state_equal(_state(table), expected)
+    # drain any in-flight migration and re-assert
+    if current_target is not None:
+        migrate_layout_staged(table, current_target)
+        assert not _stale(table)
+        import pandas as pd
+
+        assert_state_equal(_state(table), replay_oracle(pd.concat(applied, ignore_index=True)))
+
+
+_MIGRATOR = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+table_dir, barrier = sys.argv[1], sys.argv[2]
+from etl_spark.session import build_session
+from etl_spark.table import LakeTable
+from etl_spark.table.maintenance import migrate_layout_staged
+
+spark = build_session(app_name="migrator", master="local[2]", shuffle_partitions=4,
+                      extra_conf={{"spark.ui.enabled": "false"}})
+table = LakeTable(spark, table_dir)
+open(f"{{barrier}}.readyM", "w").close()
+while not os.path.exists(barrier):
+    time.sleep(0.05)
+rep = migrate_layout_staged(table, {{"type": "bucket", "n_buckets": 4}},
+                            max_files_per_stage=1, max_retries=20)
+print(f"RESULT done={{rep['done']}} stages={{len(rep['stages'])}}")
+spark.stop()
+"""
+
+_RACER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+table_dir, barrier = sys.argv[1], sys.argv[2]
+from etl_spark.session import build_session
+from etl_spark.operators.merge import merge_batch
+from etl_spark.table import LakeTable, TableCommitError
+
+spark = build_session(app_name="racer", master="local[2]", shuffle_partitions=4,
+                      extra_conf={{"spark.ui.enabled": "false"}})
+rows = [(f"doc_{{i:08d}}", 10_000_000 + i, 0, "U", None, 1, "racer") for i in range(40)]
+batch = spark.createDataFrame(
+    rows, "doc_id string, commit_lsn long, op_seq int, op string, tokens array<int>, n_tok int, source string")
+table = LakeTable(spark, table_dir)
+open(f"{{barrier}}.readyW", "w").close()
+while not os.path.exists(barrier):
+    time.sleep(0.05)
+r = merge_batch(table, batch, epoch=77)
+print(f"RESULT applied={{r.applied}} ups={{r.rows_upserted}}")
+spark.stop()
+"""
+
+
+def test_cross_process_migration_races_writer(spark, tmp_path):
+    """TWO real OS processes — one driving the staged migration, one merging
+    an epoch — race on one table through the filesystem CAS. Both must land
+    exactly once: the migration completes (all files conforming bucket4),
+    the merge's 40 rows survive with fences intact, and the final state is
+    the oracle of everything applied."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    feed = generate_binlog(spark, BinlogSpec(n_events=3000, n_keys=250, seed=13))
+    feed.cache().count()
+    full = feed.drop("delivery_pos", "lsn_bucket")
+    root = str(tmp_path / "t")
+    table = LakeTable.create_if_absent(spark, root, TARGET_SCHEMA)
+    merge_batch(table, full, epoch=0, target_rows_per_file=80)
+    assert len(table.files()) >= 4
+
+    repo = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    barrier = str(tmp_path / "go")
+    scripts = []
+    for name, src, tag in (("m.py", _MIGRATOR, "M"), ("w.py", _RACER, "W")):
+        p = tmp_path / name
+        p.write_text(src.format(repo=repo))
+        scripts.append((str(p), tag))
+    import os as _os
+
+    env = {**_os.environ, "PYTHONUNBUFFERED": "1"}
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, s, root, barrier],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for s, _tag in scripts
+    ]
+    deadline = _time.time() + 300
+    while _time.time() < deadline and not all(
+        _os.path.exists(f"{barrier}.ready{t}") for t in ("M", "W")
+    ):
+        _time.sleep(0.2)
+        if any(p.poll() is not None for p in procs):
+            break
+    open(barrier, "w").close()
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert procs[0].returncode == 0 and "done=True" in outs[0], outs[0][-3000:]
+    assert procs[1].returncode == 0 and "applied=True" in outs[1], outs[1][-3000:]
+
+    t2 = LakeTable(spark, root)
+    assert t2.layout() == BUCKET4
+    assert not [f for f in t2.files() if f.get("layout_stale")]
+    import pandas as pd
+
+    racer_pd = pd.DataFrame(
+        [(f"doc_{i:08d}", 10_000_000 + i, 0, "U", None, 1, "racer") for i in range(40)],
+        columns=["doc_id", "commit_lsn", "op_seq", "op", "tokens", "n_tok", "source"],
+    )
+    expected = replay_oracle(pd.concat([full.toPandas(), racer_pd], ignore_index=True))
+    assert_state_equal(_state(t2), expected)
+    assert t2.is_fenced(77) and t2.is_fenced(0)
+
+
 def test_foreground_cow_merge_progresses_migration(spark, tmp_path):
     feed = generate_binlog(spark, SPEC)
     feed.cache().count()

@@ -288,6 +288,59 @@ def test_decode_pixels_bmp_and_ppm_pure_python():
     assert abs(sum(feats[2:]) - 1.0) < 1e-9
 
 
+def test_parsers_roundtrip_hypothesis():
+    """Property: encode -> parse is the identity over valid headers, and no
+    random byte blob ever crashes a parser (they return None/None-tuples)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(w=st.integers(1, 4000), h=st.integers(1, 4000))
+    def dims_roundtrip(w, h):
+        assert MM.parse_image_dims(_png_bytes(w, h)) == (w, h)
+        assert MM.parse_image_dims(_jpeg_bytes(w, h)) == (w, h)
+        assert MM.parse_image_dims(_gif_bytes(w % 65536, h % 65536)) == (w % 65536, h % 65536)
+
+    @settings(max_examples=60, deadline=None)
+    # WAV data-chunk sizes are u32 — cap duration so byte_rate * sec < 2^32
+    @given(sr=st.integers(8000, 192000), ch=st.integers(1, 8), ms=st.integers(0, 600_000))
+    def wav_roundtrip(sr, ch, ms):
+        sample_rate, channels, duration = MM.parse_wav_meta(_wav_bytes(sr, ch, ms / 1000.0))
+        assert (sample_rate, channels) == (sr, ch)
+        assert abs(duration - ms) <= 1  # byte-rate quantization
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        seed=st.integers(0, 2**31),
+    )
+    def bmp_ppm_roundtrip(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        rows = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(w)] for _ in range(h)]
+        flat = [c for row in rows for px in row for c in px]
+        assert MM.decode_pixels(_bmp_bytes(w, h, rows)) == (w, h, flat)
+        assert MM.decode_pixels(b"P6 %d %d 255\n" % (w, h) + bytes(flat)) == (w, h, flat)
+
+    @settings(max_examples=120, deadline=None)
+    @given(blob=st.binary(max_size=200))
+    def never_crashes(blob):
+        MM.parse_image_dims(blob)
+        MM.parse_wav_meta(blob)
+        MM.decode_pixels(blob)
+        for prefix in (b"BM", b"P6 ", b"P5\n", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF8"):
+            MM.parse_image_dims(prefix + blob)
+            MM.parse_wav_meta(prefix + blob)
+            MM.decode_pixels(prefix + blob)
+
+    dims_roundtrip()
+    wav_roundtrip()
+    bmp_ppm_roundtrip()
+    never_crashes()
+
+
 def test_decode_real_pixel_features_on_uncompressed_rasters(spark):
     """Round-5: fake=False emits REAL feature vectors for BMP/PPM payloads
     (pure-Python pixel decode) while compressed formats keep honest nulls."""
