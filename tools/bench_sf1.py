@@ -40,6 +40,16 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--keep", action="store_true", help="keep the scratch dirs")
+    ap.add_argument(
+        "--arms",
+        default="cow,mor",
+        help="comma list of arms to run (cow,mor) — the 100M stress runs cow only",
+    )
+    ap.add_argument(
+        "--out",
+        default="sf1_replay.json",
+        help="output filename under BENCH/",
+    )
     args = ap.parse_args()
 
     import pyspark.sql.functions as F
@@ -118,7 +128,9 @@ def main() -> None:
         "arms": {},
     }
 
-    for arm, mode in (("cow", "auto"), ("mor", "mor")):
+    arm_modes = [("cow", "auto"), ("mor", "mor")]
+    arm_modes = [(a, m) for a, m in arm_modes if a in args.arms.split(",")]
+    for arm, mode in arm_modes:
         troot = os.path.join(root, f"table_{arm}")
         table = LakeTable.create_if_absent(spark, troot, TARGET_SCHEMA)
         t0 = time.time()
@@ -148,9 +160,9 @@ def main() -> None:
         print(json.dumps({arm: out["arms"][arm]}), flush=True)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH", "sf1_replay.json"), "w") as f:
+    with open(os.path.join(repo, "BENCH", args.out), "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({"written": "BENCH/sf1_replay.json"}))
+    print(json.dumps({"written": "BENCH/" + args.out}))
     if not args.keep:
         shutil.rmtree(root, ignore_errors=True)
 
