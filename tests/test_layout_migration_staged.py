@@ -180,6 +180,39 @@ def test_mor_debt_survives_staged_migration(spark, tmp_path):
     assert not _stale(table)
 
 
+def test_time_travel_into_mid_migration_snapshots(spark, tmp_path):
+    """Snapshots captured mid-migration stay readable AFTER the migration
+    completes (old files persist until expire_snapshots): read(sid) at a
+    half-migrated snapshot equals the state at that time, and diff() across
+    the migration window reports only real changes, not rewrite traffic."""
+    feed = generate_binlog(spark, BinlogSpec(n_events=4000, n_keys=300, seed=19))
+    feed.cache().count()
+    batches = _batches(feed, 2)
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, batches[0], epoch=0, target_rows_per_file=150)
+    expected_mid = replay_oracle(batches[0].toPandas())
+
+    migrate_layout_staged(table, BUCKET4, max_files_per_stage=1, max_stages=2)
+    sid_mid = table.head_id()  # half-migrated snapshot
+    merge_batch(table, batches[1], epoch=1)
+    migrate_layout_staged(table, BUCKET4)
+    assert not _stale(table)
+
+    # time travel to the mid-migration snapshot
+    got_mid = (
+        table.read(sid_mid, include_hidden=True).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert_state_equal(got_mid, expected_mid)
+    # the changelog across the migration window holds ONLY batch-1 winners:
+    # stage rewrites (pure file moves) contribute no change rows
+    diff = table.diff(sid_mid, table.head_id())
+    changed_keys = {r["doc_id"] for r in diff.select("doc_id").collect()}
+    b1 = replay_oracle(batches[1].toPandas())
+    b1_all = set(batches[1].select("doc_id").distinct().toPandas()["doc_id"])
+    assert changed_keys <= b1_all
+    assert set(b1["doc_id"]) <= changed_keys | set(expected_mid["doc_id"])
+
+
 def test_stage_retries_after_concurrent_writer_conflict(spark, tmp_path):
     """A merge committing between a stage's plan and its commit trips the
     expect_parent pin; the stage must replan against the new head and
