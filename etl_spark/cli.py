@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--keys", type=int, default=50_000)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--buckets", type=int, default=16)
+    g.add_argument(
+        "--format",
+        choices=["parquet", "debezium-json", "json"],
+        default="parquet",
+        help="wire shape of the written feed (JSON forms are one object per line)",
+    )
 
     r = sub.add_parser("replay")
     r.add_argument("--binlog", required=True)
@@ -77,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
         help="physical file layout if the table is being CREATED (immutable after)",
     )
     s.add_argument("--n-buckets", type=int, default=64, help="bucket count for --layout bucket")
+    s.add_argument(
+        "--format",
+        choices=["parquet", "debezium-json", "json"],
+        default="parquet",
+        help="feed wire shape (streaming/formats.py normalizers for the JSON forms)",
+    )
 
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
@@ -116,14 +128,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(app_name=f"etl-spark-{args.cmd}", cores=args.cores)
 
     if args.cmd == "gen":
-        from etl_spark.datagen import BinlogSpec, write_binlog
+        from etl_spark.datagen import BinlogSpec, write_binlog, write_binlog_json
 
-        write_binlog(
-            spark,
-            BinlogSpec(n_events=args.events, n_keys=args.keys, seed=args.seed, n_buckets=args.buckets),
-            args.out,
-        )
-        print(json.dumps({"written": args.out, "events": args.events}))
+        spec = BinlogSpec(n_events=args.events, n_keys=args.keys, seed=args.seed, n_buckets=args.buckets)
+        if args.format == "parquet":
+            write_binlog(spark, spec, args.out)
+        else:
+            write_binlog_json(
+                spark, spec, args.out, envelope="debezium" if args.format == "debezium-json" else "flat"
+            )
+        print(json.dumps({"written": args.out, "events": args.events, "format": args.format}))
         return 0
 
     from etl_spark.schema import TARGET_SCHEMA
@@ -177,6 +191,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.layout == "bucket"
                 else None
             ),
+            feed_format=args.format,
         )
         print(
             json.dumps(

@@ -135,3 +135,35 @@ def write_binlog(spark: SparkSession, spec: BinlogSpec, path: str) -> None:
         .partitionBy("lsn_bucket")
         .parquet(path)
     )
+
+
+def write_binlog_json(
+    spark: SparkSession, spec: BinlogSpec, path: str, envelope: str = "debezium"
+) -> None:
+    """Materialize the feed as ``path/lsn_bucket=k/part-*.txt`` JSON lines —
+    the wire shape a Debezium-style connector (``envelope='debezium'``) or a
+    flat change-row producer (``envelope='flat'``) would land. Consumed by
+    ``run_stream_replay(feed_format='debezium-json' | 'json')``."""
+    from etl_spark.schema import BINLOG_SCHEMA
+    from etl_spark.streaming.formats import debezium_value_col
+
+    if envelope not in ("debezium", "flat"):
+        raise ValueError(f"unknown envelope {envelope!r}")
+    ordered = (
+        generate_binlog(spark, spec)
+        .repartition(max(2, spec.n_buckets), "lsn_bucket")
+        .sortWithinPartitions("delivery_pos")
+    )
+    if envelope == "debezium":
+        value_df = ordered.withColumn("value", debezium_value_col())
+    else:
+        value_df = ordered.withColumn(
+            "value",
+            F.to_json(F.struct(*[F.col(f.name) for f in BINLOG_SCHEMA.fields])),
+        )
+    (
+        value_df.select("value", "lsn_bucket")
+        .write.mode("overwrite")
+        .partitionBy("lsn_bucket")
+        .text(path)
+    )

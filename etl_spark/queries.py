@@ -381,6 +381,63 @@ def q_cdc_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "value_cents", "source")
 
 
+@register("cdc_stream_replay_debezium", _REPLAY_ORACLE)
+def q_cdc_stream_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same streaming replay from a DEBEZIUM-envelope JSONL feed
+    (streaming/formats.py, round 5): the feed is serialized as one Debezium
+    change envelope per line (op c/u/d, before/after rows, source.lsn/seq),
+    tailed with the text file source, and normalized to canonical rows by a
+    pure-Catalyst from_json projection before the identical epoch-fenced
+    apply. Wire format must be invisible to the final state, so the same
+    single-shot SQL LWW oracle applies."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    from etl_spark.streaming.formats import debezium_value_col
+    from etl_spark.streaming.tail import run_stream_replay
+
+    feed = _feed(spark, sf_dir)
+    feed_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("commit_lsn", LongType(), False),
+            StructField("op_seq", IntegerType(), False),
+            StructField("op", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    target_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("value_cents", LongType(), True),
+            StructField("source", StringType(), True),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="etl_spark_q_stream_dbz_")
+    binlog = f"{root}/binlog"
+    (
+        feed.withColumn("lsn_bucket", F.pmod(F.col("commit_lsn"), F.lit(4)).cast("int"))
+        .withColumn("value", debezium_value_col(feed_schema))
+        .repartition(4, "lsn_bucket")
+        .select("value", "lsn_bucket")
+        .write.mode("overwrite")
+        .partitionBy("lsn_bucket")
+        .text(binlog)
+    )
+    run_stream_replay(
+        spark,
+        binlog_dir=binlog,
+        table_root=f"{root}/table",
+        checkpoint_dir=f"{root}/ckpt",
+        feed_schema=feed_schema,
+        target_schema=target_schema,
+        max_files_per_trigger=2,
+        feed_format="debezium-json",
+    )
+    table = LakeTable(spark, f"{root}/table")
+    return table.read().select("doc_id", "value_cents", "source")
+
+
 @register(
     "cdc_tombstone_antijoin",
     f"""
@@ -2040,6 +2097,9 @@ _DEFERRED = (
     # stay covered by in-window siblings:
     "cdc_snapshot_diff",  # r4-attested; cdc_time_travel (same snapshot reads) in-window
     "events_pivot_type_counts",  # r4-attested; events family (tumbling/sliding/sessionize/funnel) in-window
+    # r4-attested; window machinery stays covered in-window by
+    # win_top3_orders_per_cust; slot freed for cdc_stream_replay_debezium
+    "win_lag_delta",
 )
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEFERRED},

@@ -59,6 +59,7 @@ def run_stream_replay(
     auto_compact_mor: bool = False,
     max_mor_files: int = 16,
     layout: dict | None = None,
+    feed_format: str = "parquet",
 ) -> StreamReplayReport:
     """Tail the binlog dir and apply every available microbatch exactly-once,
     then stop (Trigger.AvailableNow — drains what exists, leaves the
@@ -74,7 +75,15 @@ def run_stream_replay(
 
     ``layout`` applies only if the tail CREATES the table (e.g.
     ``{"type": "bucket", "n_buckets": 64}``); an existing table keeps its
-    immutable creation-time layout."""
+    immutable creation-time layout.
+
+    ``feed_format`` selects the wire shape (streaming/formats.py):
+    ``"parquet"`` (canonical columns), ``"debezium-json"`` (one Debezium
+    envelope per line), or ``"json"`` (one flat canonical-feed object per
+    line). The JSON formats tail the same directory layout with the text
+    file source and normalize via pure-Catalyst ``from_json`` projections —
+    checkpoint resume, batching, and the fenced exactly-once apply are
+    format-independent."""
     table = LakeTable.create_if_absent(spark, table_root, target_schema, layout=layout)
     report = StreamReplayReport()
 
@@ -103,12 +112,25 @@ def run_stream_replay(
 
             maybe_compact_mor(table, max_mor_files=max_mor_files)
 
-    stream = (
-        spark.readStream.schema(src_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("basePath", binlog_dir)
-        .parquet(binlog_dir)
-    )
+    if feed_format == "parquet":
+        stream = (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("basePath", binlog_dir)
+            .parquet(binlog_dir)
+        )
+    elif feed_format in ("debezium-json", "json"):
+        from etl_spark.streaming.formats import normalize_debezium, normalize_flat_json
+
+        raw = (
+            spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("basePath", binlog_dir)
+            .text(binlog_dir)
+        )
+        normalize = normalize_debezium if feed_format == "debezium-json" else normalize_flat_json
+        stream = normalize(raw, feed_schema=feed_schema)
+    else:
+        raise ValueError(f"unknown feed_format {feed_format!r} (parquet | debezium-json | json)")
     query = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -42,3 +42,37 @@ def test_cli_gen_replay_lineage(spark, tmp_path, capsys):
     keys = [(r["checkpoint_epoch"], r["partition_id"]) for r in part_rows]
     assert keys == sorted(keys)
     assert len(set(keys)) == len(keys), "fence keys must be unique"
+
+
+def test_cli_debezium_gen_and_stream(spark, tmp_path, capsys):
+    """gen --format debezium-json writes an envelope-per-line feed the
+    stream subcommand replays with --format debezium-json."""
+    binlog = str(tmp_path / "dbz")
+    table = str(tmp_path / "table")
+    out = _run(
+        capsys,
+        ["gen", "--out", binlog, "--events", "1500", "--keys", "200", "--buckets", "2", "--format", "debezium-json"],
+    )
+    assert out[0]["format"] == "debezium-json"
+    import glob
+
+    txts = glob.glob(f"{binlog}/lsn_bucket=*/part-*")
+    assert txts, "expected text part files under lsn_bucket dirs"
+    with open(txts[0]) as f:
+        first = f.readline()
+    assert '"op"' in first and '"source"' in first  # envelope shape on disk
+
+    rows = _run(
+        capsys,
+        [
+            "stream",
+            "--binlog", binlog,
+            "--table", table,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--format", "debezium-json",
+        ],
+    )
+    assert rows[0]["applied"] >= 1 and rows[0]["rows_upserted"] > 0
+
+    verdict = _run(capsys, ["lineage", "--table", table])[-1]
+    assert verdict["exactly_once_ok"] is True
