@@ -259,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
         # landed in which epoch" without writing Python (round-4 verdict
         # item 8): one JSON line per epoch (or per ledger row with
         # --per-partition), then the exactly-once coverage verdict.
-        from etl_spark.lineage import coverage
+        from etl_spark.lineage import coverage, epoch_rollup
 
         table = LakeTable(spark, args.table)
         recs = table.lineage()
@@ -267,25 +267,8 @@ def main(argv: list[str] | None = None) -> int:
             for r in sorted(recs, key=lambda r: (r["checkpoint_epoch"], r["partition_id"])):
                 print(json.dumps(r))
         else:
-            by_epoch: dict[int, list[dict]] = {}
-            for r in recs:
-                by_epoch.setdefault(r["checkpoint_epoch"], []).append(r)
-            for e in sorted(by_epoch):
-                rs = by_epoch[e]
-                mins = [x["lsn_min"] for x in rs if x["lsn_min"] is not None]
-                maxs = [x["lsn_max"] for x in rs if x["lsn_max"] is not None]
-                print(
-                    json.dumps(
-                        {
-                            "epoch": e,
-                            "partitions": len(rs),
-                            "lsn_min": min(mins) if mins else None,
-                            "lsn_max": max(maxs) if maxs else None,
-                            "rows_upserted": sum(x["rows_upserted"] for x in rs),
-                            "rows_deleted": sum(x["rows_deleted"] for x in rs),
-                        }
-                    )
-                )
+            for row in epoch_rollup(recs):
+                print(json.dumps(row))
         rep = coverage(table)
         print(
             json.dumps(

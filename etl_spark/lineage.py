@@ -64,13 +64,7 @@ def coverage(table: LakeTable) -> CoverageReport:
     recs = table.lineage()
     if not recs:
         return CoverageReport(0, None, None, 0, 0, False)
-    by_epoch: dict[int, list[dict]] = {}
-    for r in recs:
-        by_epoch.setdefault(r["checkpoint_epoch"], []).append(r)
-    spans = sorted(
-        (min(x["lsn_min"] for x in rs), max(x["lsn_max"] for x in rs), e)
-        for e, rs in by_epoch.items()
-    )
+    rollup = epoch_rollup(recs)
     # With out-of-order delivery, adjacent epochs may legitimately share
     # boundary lsns; the hard exactly-once guarantee is the fence ledger:
     # (epoch, partition) keys must be globally unique — a double-applied
@@ -79,11 +73,40 @@ def coverage(table: LakeTable) -> CoverageReport:
         (f["checkpoint_epoch"], f["partition_id"]) for s in table.snapshots() for f in s["fences"]
     ]
     dup_fence = len(fences) != len(set(fences))
+    lows = [e["lsn_min"] for e in rollup if e["lsn_min"] is not None]
+    highs = [e["lsn_max"] for e in rollup if e["lsn_max"] is not None]
     return CoverageReport(
-        epochs=len(by_epoch),
-        lsn_lo=min(s[0] for s in spans),
-        lsn_hi=max(s[1] for s in spans),
+        epochs=len(rollup),
+        lsn_lo=min(lows) if lows else None,
+        lsn_hi=max(highs) if highs else None,
         rows_upserted=sum(r["rows_upserted"] for r in recs),
         rows_deleted=sum(r["rows_deleted"] for r in recs),
         epochs_overlap=dup_fence,
     )
+
+
+def epoch_rollup(recs: list[dict]) -> list[dict]:
+    """Per-epoch rollup of raw ledger rows — the single source for the CLI's
+    ``lineage`` output and :func:`coverage`'s spans (review finding r5: the
+    two implementations had drifted in None handling). A partition with no
+    applied rows carries null lsn bounds; those are skipped, never compared.
+    Returned sorted by epoch."""
+    by_epoch: dict[int, list[dict]] = {}
+    for r in recs:
+        by_epoch.setdefault(r["checkpoint_epoch"], []).append(r)
+    out = []
+    for e in sorted(by_epoch):
+        rs = by_epoch[e]
+        mins = [x["lsn_min"] for x in rs if x["lsn_min"] is not None]
+        maxs = [x["lsn_max"] for x in rs if x["lsn_max"] is not None]
+        out.append(
+            {
+                "epoch": e,
+                "partitions": len(rs),
+                "lsn_min": min(mins) if mins else None,
+                "lsn_max": max(maxs) if maxs else None,
+                "rows_upserted": sum(x["rows_upserted"] for x in rs),
+                "rows_deleted": sum(x["rows_deleted"] for x in rs),
+            }
+        )
+    return out

@@ -85,11 +85,19 @@ def _rewrite(
         if layout.get("type") == "bucket":
             # preserve the table's bucket layout: rewrite through the same
             # hash exchange the merge apply uses (no sampler, rows stay in
-            # their key's fixed bucket)
+            # their key's fixed bucket). Output FILE count is sized by the
+            # data, not the bucket count: hashing bucket ids into n_out
+            # partitions keeps every bucket wholly inside one file (files
+            # carry bucket SETS in the manifest, so membership pruning stays
+            # exact) while a small rewrite — one staged-migration stage, a
+            # two-file compaction — emits a few files instead of n_buckets
+            # near-empty ones (a 1000-file -> bucket(64) staged migration
+            # would otherwise multiply file count ~8x, review finding r5).
             n_buckets = int(layout["n_buckets"])
+            n_out = max(1, min(n_buckets, (n_rows // target_rows_per_file) + 1))
             (
                 df.withColumn("_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
-                .repartition(n_buckets, "_bucket")
+                .repartition(n_out, "_bucket")
                 .drop("_bucket")
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
@@ -334,20 +342,32 @@ def migrate_layout_staged(
         raise ValueError("bucket layout needs n_buckets >= 1")
 
     begin_sid: int | None = None
-    snap = table.snapshot()
-    if table.layout(snap["snapshot_id"]) != new_layout:
+    retries_left = max_retries  # PER-COMMIT budget, reset after each success
+    while True:
+        snap = table.snapshot()
+        if table.layout(snap["snapshot_id"]) == new_layout:
+            break
         # begin: descriptor flip + stale-tag every live file, one
         # metadata-only commit (entries keep their added_at, so MoR mask
-        # ordering is unchanged)
-        begin_sid = table.commit(
-            add_files=[{**f, "layout_stale": True} for f in snap["files"]],
-            remove_paths={f["path"] for f in snap["files"]},
-            new_layout=new_layout,
-            summary={"maintenance": "migrate_layout_staged", "phase": "begin", "to": new_layout},
-            expect_parent=snap["snapshot_id"],
-        )
+        # ordering is unchanged). Retried like every other commit here: a
+        # concurrent merge landing between snapshot() and commit() trips
+        # the expect_parent pin and we re-plan against the new head.
+        try:
+            begin_sid = table.commit(
+                add_files=[{**f, "layout_stale": True} for f in snap["files"]],
+                remove_paths={f["path"] for f in snap["files"]},
+                new_layout=new_layout,
+                summary={"maintenance": "migrate_layout_staged", "phase": "begin", "to": new_layout},
+                expect_parent=snap["snapshot_id"],
+            )
+            break
+        except TableCommitError:
+            retries_left -= 1
+            if retries_left < 0:
+                raise
 
     stages: list[int] = []
+    retries_left = max_retries
     while True:
         snap = table.snapshot()
         stale = sorted(
@@ -383,13 +403,17 @@ def migrate_layout_staged(
             )
         except TableCommitError:
             # a concurrent merge advanced HEAD between plan and commit —
-            # replan against the new head (bounded; the merge may even have
-            # migrated some of our picked files for us)
-            max_retries -= 1
-            if max_retries < 0:
+            # replan against the new head (the merge may even have migrated
+            # some of our picked files for us). The budget is PER STAGE —
+            # a long migration under steady foreground traffic sees one
+            # conflict per stage and must not abort on their total — and
+            # only consecutive conflicts on one stage exhaust it.
+            retries_left -= 1
+            if retries_left < 0:
                 raise
             continue
         stages.append(sid)
+        retries_left = max_retries
 
 
 def gc_orphans(table: LakeTable) -> list[str]:

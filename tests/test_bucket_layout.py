@@ -228,7 +228,10 @@ def test_migrate_layout_round_trip(spark, tmp_table_dir):
     before = {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()}
     assert before["k00007"] == [77]
 
-    sid = migrate_layout(table, {"type": "bucket", "n_buckets": 8})
+    # small target_rows_per_file: bucket rewrites size output files by the
+    # DATA (round-5 fix), so a multi-file layout must be requested here for
+    # the point-merge pruning assertion below to have something to prune
+    sid = migrate_layout(table, {"type": "bucket", "n_buckets": 8}, target_rows_per_file=500)
     assert sid is not None
     assert table.layout() == {"type": "bucket", "n_buckets": 8}
     assert all(f.get("buckets") for f in table.files())

@@ -349,6 +349,78 @@ def test_stage_retries_after_concurrent_writer_conflict(spark, tmp_path):
     assert_state_equal(_state(table), expected)
 
 
+def test_begin_commit_retries_after_concurrent_writer(spark, tmp_path):
+    """Review finding r5: the BEGIN commit must replan on a concurrent
+    writer's conflict exactly like stage commits do (pre-fix it raised
+    TableCommitError straight out of migrate_layout_staged)."""
+    feed = generate_binlog(spark, BinlogSpec(n_events=2000, n_keys=150, seed=71))
+    feed.cache().count()
+    batches = _batches(feed, 2)
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, batches[0], epoch=0, target_rows_per_file=150)
+
+    real_commit = table.commit
+    raced = {"n": 0}
+
+    def racing_commit(*a, **kw):
+        if raced["n"] == 0 and kw.get("summary", {}).get("phase") == "begin":
+            raced["n"] += 1
+            # concurrent merge lands between the begin's snapshot and commit
+            merge_batch(LakeTable(spark, str(tmp_path / "t")), batches[1], epoch=1)
+        return real_commit(*a, **kw)
+
+    table.commit = racing_commit
+    try:
+        rep = migrate_layout_staged(table, BUCKET4, max_files_per_stage=8)
+    finally:
+        table.commit = real_commit
+    assert raced["n"] == 1 and rep["done"] and rep["begin"] is not None
+    expected = replay_oracle(feed.drop("delivery_pos", "lsn_bucket").toPandas())
+    assert_state_equal(_state(table), expected)
+
+
+def test_staged_bucket_migration_does_not_explode_file_count(spark, tmp_path):
+    """Review finding r5: a bucket-target stage must size its output by the
+    DATA (whole buckets grouped into few files, tagged with bucket sets),
+    not write n_buckets near-empty files per stage — a 1000-file table
+    staged into bucket(64) would otherwise multiply its file count ~8x."""
+    feed = generate_binlog(spark, BinlogSpec(n_events=3000, n_keys=250, seed=73))
+    full = feed.drop("delivery_pos", "lsn_bucket")
+    full.cache().count()
+    table = LakeTable.create_if_absent(spark, str(tmp_path / "t"), TARGET_SCHEMA)
+    merge_batch(table, full, epoch=0, target_rows_per_file=60)
+    n_in = len(table.files())
+    assert n_in >= 4
+
+    rep = migrate_layout_staged(
+        table, {"type": "bucket", "n_buckets": 64}, max_files_per_stage=2, target_rows_per_file=1_000_000
+    )
+    assert rep["done"]
+    files = table.files()
+    # each stage's rows fit one target file -> about one output per stage
+    assert len(files) <= len(rep["stages"]) + 1, (len(files), len(rep["stages"]))
+    # files carry multi-bucket SETS covering the keyspace; pruning stays exact
+    covered = set()
+    for f in files:
+        assert f.get("buckets") and not f.get("layout_stale")
+        covered.update(f["buckets"])
+    assert all(0 <= b < 64 for b in covered)
+    expected = replay_oracle(full.toPandas())
+    assert_state_equal(_state(table), expected)
+    # exact bucket pruning still holds: a point update touches only files
+    # whose bucket set contains the key's bucket
+    some_key = expected["doc_id"].iloc[0]
+    r = merge_batch(
+        table,
+        spark.createDataFrame(
+            [(some_key, 10_000_000, 0, "U", [1], 1, "poke")],
+            "doc_id string, commit_lsn long, op_seq int, op string, tokens array<int>, n_tok int, source string",
+        ),
+        epoch=2,
+    )
+    assert r.applied
+
+
 def test_maintenance_storm_preserves_state(spark, tmp_path):
     """Deterministic pseudo-random interleave of replay epochs, staged
     migrations (range -> bucket -> back to range), MoR epochs, and
