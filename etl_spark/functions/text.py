@@ -125,3 +125,40 @@ def quality_score_milli(text: Column | str) -> Column:
         + F.when(mean_ok, 300).otherwise(0)
         + F.when(stop_ok, 300).otherwise(0)
     ).cast("int")
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id", n: int = 2):
+    """Gopher/MassiveText-style within-document repetition signals — the
+    classic pretraining filter for boilerplate/spam (Rae et al. 2021 §A1.1
+    "repetition removal"): documents dominated by a few repeated n-grams are
+    low-quality training data.
+
+    Per document, over word ``n``-grams (shingles):
+      - ``n_grams``           total n-gram occurrences
+      - ``dup_gram_milli``    1000 x fraction of occurrences belonging to an
+                              n-gram that appears more than once (exact
+                              integer division — cross-engine hashable)
+      - ``top_gram_milli``    1000 x fraction covered by the single most
+                              frequent n-gram (ties irrelevant: max count)
+
+    Plan shape (scale-first): explode -> two-phase hash aggregate on
+    (doc_id, gram) -> re-aggregate per doc. Both aggregates partial-combine
+    map-side, so a hot document collapses before the shuffle; nothing is
+    O(doc_len^2) (the per-doc array formulation would be) and no Python
+    touches the row path."""
+    grams = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g"))
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("_n"),
+            F.max("c").alias("_maxc"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("int").alias("n_grams"),
+            F.expr("CAST(1000 * _dup AS BIGINT) div _n").cast("int").alias("dup_gram_milli"),
+            F.expr("CAST(1000 * _maxc AS BIGINT) div _n").cast("int").alias("top_gram_milli"),
+        )
+    )

@@ -960,6 +960,35 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    f"""
+    WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+    g0 AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+                                 j -> array_to_string(ws[CAST(j AS INTEGER):CAST(j + 1 AS INTEGER)], ' ')) AS gs
+           FROM d),
+    g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+    pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, sum(c) AS n, max(c) AS maxc,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM pg GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_grams,
+           CAST(CAST(1000 * dup AS BIGINT) // n AS INTEGER) AS dup_gram_milli,
+           CAST(CAST(1000 * maxc AS BIGINT) // n AS INTEGER) AS top_gram_milli
+    FROM agg
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter signals
+    (functions/text.repetition_stats): per-doc word-bigram occurrence count,
+    duplicate-gram mass, and top-gram mass, all exact integer milli-units.
+    Plan: explode -> (doc, gram) partial-agged count -> per-doc re-agg —
+    never an O(len^2) per-doc array pass."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_word_topk",
     f"""
     WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
@@ -2100,6 +2129,9 @@ _DEFERRED = (
     # r4-attested; window machinery stays covered in-window by
     # win_top3_orders_per_cust; slot freed for cdc_stream_replay_debezium
     "win_lag_delta",
+    # r4-attested; TPC-H joins stay covered in-window by q3/q10/rollup;
+    # slot freed for the new text_repetition entry
+    "tpch_q5_region_revenue",
 )
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _DEFERRED},

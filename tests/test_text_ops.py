@@ -108,6 +108,32 @@ def test_quality_score_components(spark):
     assert out[2] == 0  # too short, mean word len 2 < 3, no stopwords
 
 
+def test_repetition_stats_gopher_signals(spark):
+    """Gopher-style repetition filter: exact integer milli-fractions of
+    duplicate-bigram mass and top-bigram mass per document."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: ab,ba,ab,ba,ab -> all duplicated, top 'a b' 3/5
+            (2, "one two three four"),  # 3 distinct bigrams, no repetition
+            (3, "solo"),  # shorter than n: whole doc is the single shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert out[1]["n_grams"] == 5
+    assert out[1]["dup_gram_milli"] == 1000  # every occurrence duplicated
+    assert out[1]["top_gram_milli"] == 600  # 'a b' occurs 3 of 5
+    assert out[2]["n_grams"] == 3
+    assert out[2]["dup_gram_milli"] == 0
+    assert out[2]["top_gram_milli"] == 333
+    assert out[3]["n_grams"] == 1 and out[3]["dup_gram_milli"] == 0
+    assert out[3]["top_gram_milli"] == 1000
+
+    from etl_spark.functions.tokens import assert_vectorized_plan
+
+    assert_vectorized_plan(T.repetition_stats(df))  # pure Catalyst, no Python
+
+
 def test_embedding_cosine_identical_vectors(spark):
     rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
